@@ -1,0 +1,32 @@
+"""Pure-function distillation losses (jit/grad friendly).
+
+Replaces the methods of the reference Lightning modules
+(`distillation/knowledge_distillation7b_*/OnlineKnowledgeDistillationLLavaOneVision.py`)
+with stateless jnp functions so they can be fused into one pjit train step.
+"""
+
+from .kd_losses import (
+    masked_cross_entropy,
+    truncate_teacher_logits,
+    kd_kl_loss,
+    loca_loss,
+    loca_calibrated_probs,
+    ntxent_loss,
+    ofa_loss,
+    pool_and_normalize,
+    feature_mse_loss,
+    vision_phase1_loss,
+)
+
+__all__ = [
+    "masked_cross_entropy",
+    "truncate_teacher_logits",
+    "kd_kl_loss",
+    "loca_loss",
+    "loca_calibrated_probs",
+    "ntxent_loss",
+    "ofa_loss",
+    "pool_and_normalize",
+    "feature_mse_loss",
+    "vision_phase1_loss",
+]

@@ -1,0 +1,20 @@
+"""Test config: force an 8-device virtual CPU platform so multi-chip sharding
+tests run without TPUs (SURVEY.md §4).
+
+Note: this environment's sitecustomize registers a TPU PJRT plugin and
+force-sets ``jax_platforms="axon,cpu"`` via ``jax.config.update`` — env vars
+alone cannot override it, so we update the config after importing jax.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
