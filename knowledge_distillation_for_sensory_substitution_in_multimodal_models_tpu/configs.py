@@ -170,7 +170,7 @@ def llava_onevision_tiny(vocab_size: int = 512) -> LlavaOnevisionConfig:
         pad_token_id=vocab_size - 1,
         eos_token_id=vocab_size - 1,
         image_grid_pinpoints=_grid_pinpoints(max_grid=3, base=28),
-        max_tiles=5,
+        max_tiles=11,
     )
 
 

@@ -1,0 +1,152 @@
+"""LLaVA-OneVision in Flax: SigLIP tower + projector + Qwen2 LM with
+static-shape anyres feature packing.
+
+Parity target: HF ``LlavaOnevisionForConditionalGeneration`` as used by the
+reference (`distillation/LLavaOneVisionModule.py:15-19`,
+`logit_based/OnlineKnowledgeDistillationLLavaOneVision.py:125-169`).
+
+TPU-first differences from the HF graph:
+
+* anyres unpad/downsample/newline packing is precomputed on the host as a
+  gather spec (see ``data/anyres.build_pack_spec``); on device it is a
+  single weighted gather — fully static shapes, one compiled program for a
+  shape bucket.
+* the vision ``post_layernorm`` features the reference captures with torch
+  forward hooks are an explicit model output (`vision_features`, per-tile,
+  with a tile validity mask for the padded tile axis).
+* scatter of image features into the token stream uses a cumulative-index
+  gather over the image-token mask instead of boolean masked_scatter.
+
+Inputs (all statically shaped):
+  input_ids        [B, S]
+  attention_mask   [B, S]
+  pixel_values     [B, P, H, W, 3]   (P = padded tile budget, NHWC)
+  pack_idx         [B, M, 4] int32   (M = max packed image tokens)
+  pack_weight      [B, M, 4] float32
+  pack_valid       [B, M] bool
+  tile_valid       [B, P] bool
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import LlavaOnevisionConfig
+from .qwen2 import Qwen2LM
+from .siglip import SigLIPVisionTower
+
+
+class MultiModalProjector(nn.Module):
+    cfg: LlavaOnevisionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        h = nn.Dense(c.text.hidden_size, use_bias=c.projector_bias,
+                     dtype=self.dtype, name="linear_1")(x)
+        h = nn.gelu(h, approximate=False)  # HF projector_hidden_act="gelu"
+        return nn.Dense(c.text.hidden_size, use_bias=c.projector_bias,
+                        dtype=self.dtype, name="linear_2")(h)
+
+
+class LlavaOnevision(nn.Module):
+    cfg: LlavaOnevisionConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.vision_tower = SigLIPVisionTower(c.vision, self.dtype, name="vision_tower")
+        self.multi_modal_projector = MultiModalProjector(c, self.dtype, name="multi_modal_projector")
+        self.image_newline = self.param(
+            "image_newline",
+            nn.initializers.normal(stddev=c.text.hidden_size**-0.5),
+            (c.text.hidden_size,),
+        )
+        self.language_model = Qwen2LM(c.text, self.dtype, name="language_model")
+
+    def encode_images(self, pixel_values: jnp.ndarray):
+        """[B, P, H, W, 3] -> (projected [B, P, T, Dt], post_ln [B, P, T, Dv])."""
+        b, p, h, w, ch = pixel_values.shape
+        flat = pixel_values.reshape(b * p, h, w, ch)
+        encoder_out, post_ln = self.vision_tower(flat)
+        projected = self.multi_modal_projector(encoder_out)
+        t = projected.shape[1]
+        return (
+            projected.reshape(b, p, t, -1),
+            post_ln.reshape(b, p, t, -1),
+        )
+
+    def pack_features(self, projected, pack_idx, pack_weight, pack_valid):
+        """Gather-pack projected tile features into [B, M, Dt].
+
+        bank[b] = concat(projected[b].reshape(P*T, D), image_newline).
+        """
+        b, p, t, d = projected.shape
+        bank = jnp.concatenate(
+            [
+                projected.reshape(b, p * t, d),
+                jnp.broadcast_to(
+                    self.image_newline.astype(projected.dtype)[None, None, :],
+                    (b, 1, d),
+                ),
+            ],
+            axis=1,
+        )
+        gathered = jax.vmap(lambda bank_b, idx_b: bank_b[idx_b])(
+            bank, pack_idx.astype(jnp.int32)
+        )  # [B, M, 4, D]
+        packed = (gathered * pack_weight[..., None].astype(projected.dtype)).sum(axis=2)
+        return packed * pack_valid[..., None].astype(projected.dtype)
+
+    def merge_image_features(self, input_ids, inputs_embeds, packed):
+        """Place packed[b, j] at the j-th image-token position of sample b."""
+        img_mask = input_ids == self.cfg.image_token_id
+        # j-th True position -> feature j (clamped; non-image rows unused)
+        feat_pos = jnp.cumsum(img_mask, axis=1) - 1
+        feat_pos = jnp.clip(feat_pos, 0, packed.shape[1] - 1)
+        img_embeds = jnp.take_along_axis(packed, feat_pos[..., None], axis=1)
+        return jnp.where(img_mask[..., None], img_embeds.astype(inputs_embeds.dtype), inputs_embeds)
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        pixel_values: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        pack_idx: Optional[jnp.ndarray] = None,
+        pack_weight: Optional[jnp.ndarray] = None,
+        pack_valid: Optional[jnp.ndarray] = None,
+        tile_valid: Optional[jnp.ndarray] = None,
+        positions: Optional[jnp.ndarray] = None,
+        caches: Optional[list] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        """Returns (logits [B,S,V], vision_features [B,P,Dv], new_caches).
+
+        vision_features are per-tile mean-pooled post_layernorm outputs (the
+        reference's hook side-channel, `phase1/...:243-248`), zeroed at
+        padded tiles; combine with `tile_valid` for masked contrastive loss.
+        """
+        inputs_embeds = self.language_model.embed(input_ids)
+        vision_features = None
+        if pixel_values is not None:
+            projected, post_ln = self.encode_images(pixel_values)
+            packed = self.pack_features(projected, pack_idx, pack_weight, pack_valid)
+            inputs_embeds = self.merge_image_features(input_ids, inputs_embeds, packed)
+            pooled = post_ln.mean(axis=2)  # [B, P, Dv]
+            if tile_valid is not None:
+                pooled = pooled * tile_valid[..., None].astype(pooled.dtype)
+            vision_features = pooled
+
+        logits, new_caches = self.language_model(
+            inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask,
+            positions=positions,
+            caches=caches,
+            cache_index=cache_index,
+        )
+        return logits, vision_features, new_caches

@@ -1,0 +1,208 @@
+"""Qwen2 decoder-only LM in Flax (0.5B student / 7B teacher variants).
+
+Parity target: the `language_model.model.layers` / `lm_head` structure the
+reference navigates (`distillation/LLavaOneVisionModule.py:44-55`,
+`logit_based/...:415-435`): RMSNorm pre-norm blocks, biased QKV / bias-free
+output projection, GQA, NeoX-style RoPE (theta 1e6), SwiGLU MLP, optional
+tied embeddings.
+
+Designed for pjit: pure function of (params, ids/embeds, mask, positions);
+supports an optional KV cache for jit-compiled autoregressive decoding.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs import Qwen2Config
+from ..ops.attention import dot_product_attention
+
+
+class RMSNorm(nn.Module):
+    eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xf = xf * jax.lax.rsqrt(var + self.eps)
+        return (w * xf.astype(self.dtype)).astype(self.dtype)
+
+
+def rope_cos_sin(
+    positions: jnp.ndarray, head_dim: int, theta: float, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """positions [B, S] -> (cos, sin) each [B, S, head_dim]."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x [B, S, H, D]; cos/sin [B, S, D] (NeoX half-rotation convention)."""
+    d = x.shape[-1]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[:, :, None, :] + rotated * sin[:, :, None, :]
+
+
+class Qwen2Attention(nn.Module):
+    cfg: Qwen2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cos: jnp.ndarray,
+        sin: jnp.ndarray,
+        mask: Optional[jnp.ndarray],
+        cache: Optional[dict] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        c = self.cfg
+        b, s, _ = x.shape
+        hd = c.head_dim
+        q = nn.Dense(c.num_attention_heads * hd, use_bias=c.attention_bias,
+                     dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(c.num_key_value_heads * hd, use_bias=c.attention_bias,
+                     dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(c.num_key_value_heads * hd, use_bias=c.attention_bias,
+                     dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(b, s, c.num_attention_heads, hd)
+        k = k.reshape(b, s, c.num_key_value_heads, hd)
+        v = v.reshape(b, s, c.num_key_value_heads, hd)
+
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if cache is not None:
+            # Decode step: write k/v at cache_index, attend over the cache.
+            ck, cv = cache["k"], cache["v"]
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+            k, v = ck, cv
+            new_cache = {"k": ck, "v": cv}
+            out = dot_product_attention(q, k, v, mask=mask, causal=False)
+        else:
+            out = dot_product_attention(q, k, v, mask=mask, causal=True)
+
+        out = out.reshape(b, s, c.num_attention_heads * hd)
+        out = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                       name="o_proj")(out)
+        return out, new_cache
+
+
+class Qwen2MLP(nn.Module):
+    cfg: Qwen2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
+                        name="gate_proj")(x)
+        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
+                      name="up_proj")(x)
+        return nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                        name="down_proj")(nn.silu(gate) * up)
+
+
+class Qwen2Layer(nn.Module):
+    cfg: Qwen2Config
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask, cache=None, cache_index=None):
+        c = self.cfg
+        h, new_cache = Qwen2Attention(c, self.dtype, name="self_attn")(
+            RMSNorm(c.rms_norm_eps, self.dtype, name="input_layernorm")(x),
+            cos, sin, mask, cache, cache_index,
+        )
+        x = x + h
+        x = x + Qwen2MLP(c, self.dtype, name="mlp")(
+            RMSNorm(c.rms_norm_eps, self.dtype, name="post_attention_layernorm")(x)
+        )
+        return x, new_cache
+
+
+class Qwen2LM(nn.Module):
+    """Decoder LM.  Call with input_ids OR precomputed inputs_embeds.
+
+    Returns (logits, new_caches) where new_caches is None unless a KV cache
+    was supplied.
+    """
+
+    cfg: Qwen2Config
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(
+            c.vocab_size, c.hidden_size, dtype=self.dtype,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+            name="embed_tokens",
+        )
+        self.layers = [
+            Qwen2Layer(c, self.dtype, name=f"layers_{i}")
+            for i in range(c.num_hidden_layers)
+        ]
+        self.norm = RMSNorm(c.rms_norm_eps, self.dtype, name="norm")
+        if not c.tie_word_embeddings:
+            self.lm_head = nn.Dense(
+                c.vocab_size, use_bias=False, dtype=self.dtype, name="lm_head"
+            )
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(input_ids)
+
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        positions: Optional[jnp.ndarray] = None,
+        caches: Optional[list] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+        return_hidden: bool = False,
+    ):
+        c = self.cfg
+        if inputs_embeds is None:
+            inputs_embeds = self.embed_tokens(input_ids)
+        x = inputs_embeds
+        b, s, _ = x.shape
+
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+        cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta, self.dtype)
+
+        # attention_mask: [B, Skv] padding mask -> [B, 1, Sq, Skv]
+        mask = None
+        if attention_mask is not None:
+            mask = attention_mask[:, None, None, :].astype(bool)
+
+        new_caches = [] if caches is not None else None
+        for i, layer in enumerate(self.layers):
+            cache_i = caches[i] if caches is not None else None
+            x, nc = layer(x, cos, sin, mask, cache_i, cache_index)
+            if caches is not None:
+                new_caches.append(nc)
+
+        x = self.norm(x)
+        if c.tie_word_embeddings:
+            logits = self.embed_tokens.attend(x)
+        else:
+            logits = self.lm_head(x)
+        if return_hidden:
+            return logits, new_caches, x
+        return logits, new_caches
