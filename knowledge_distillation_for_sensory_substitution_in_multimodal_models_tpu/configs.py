@@ -144,6 +144,26 @@ def llava_onevision_7b() -> LlavaOnevisionConfig:
     )
 
 
+def llava_onevision_tiny_teacher(student_vocab: int = 512) -> LlavaOnevisionConfig:
+    """Tiny teacher: larger (untied) vocab + wider LM than the tiny student,
+    sharing the student's special-token ids — mirrors the real 7B/0.5B
+    vocab mismatch (152128 vs 151936) that motivates logit truncation."""
+    base = llava_onevision_tiny(student_vocab)
+    return dataclasses.replace(
+        base,
+        text=dataclasses.replace(
+            base.text,
+            vocab_size=student_vocab + 64,
+            hidden_size=48,
+            intermediate_size=96,
+            num_attention_heads=6,
+            num_key_value_heads=2,
+            head_dim=8,
+            tie_word_embeddings=False,
+        ),
+    )
+
+
 def llava_onevision_tiny(vocab_size: int = 512) -> LlavaOnevisionConfig:
     """Tiny config for unit tests / CPU parity checks against HF torch."""
     return LlavaOnevisionConfig(
@@ -190,6 +210,7 @@ class KDLossConfig:
 
     soft_target_weight: float = 0.1
     ce_weight: float = 0.5
+    contrastive_weight: float = 0.5
     gamma: float = 0.8
     temperature: float = 0.8
     loca_alpha: float = 0.8
@@ -230,8 +251,27 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
     remat_teacher: bool = True
+    # Sequence-chunk size for the never-materialized KD loss scan
+    loss_chunk_size: int = 256
 
     # Mesh axes (data, fsdp, tensor); product must equal device count
     mesh_shape: Tuple[int, int, int] = (1, 1, 1)
 
     seed: int = 0
+
+
+def kd_loss_config_for(kd_mode: str) -> KDLossConfig:
+    """Per-strategy loss hyperparameters as hardcoded in the reference
+    module ``__init__``s.
+
+    * logit_based: LoCa alpha=0.8, T=1 (`logit_based/...:75,208`)
+    * feature_based: 0.1*KL(T=0.8) + 0.8*CE + 1.0*contrastive
+      (`feature_based/...:72-74,191-230`)
+    * double_trouble: 0.1*KL + 0.5*contrastive (p1), LoCa+CE (p2),
+      gamma=0.8 mix (p3), T=0.8 (`phase1/...:67-71`)
+    """
+    if kd_mode == "logit_based":
+        return KDLossConfig(temperature=1.0)
+    if kd_mode == "feature_based":
+        return KDLossConfig(ce_weight=0.8, contrastive_weight=1.0, temperature=0.8)
+    return KDLossConfig()

@@ -224,6 +224,38 @@ def ntxent_loss(
     return -jnp.mean(jnp.diagonal(log_probs))
 
 
+def masked_ntxent_loss(
+    student_features: jnp.ndarray,
+    teacher_features: jnp.ndarray,
+    valid: jnp.ndarray,
+    temperature: float = 0.07,
+) -> jnp.ndarray:
+    """NT-Xent over a statically padded item axis.
+
+    In the reference the contrastive "batch" items are the anyres *tiles*
+    captured by the post_layernorm hook (pixel_values is the flattened tile
+    batch, so ``hook_out.mean(dim=1)`` is [n_tiles, 1152] — see
+    `phase1/OnlineKnowledgeDistillationLLavaOneVision.py:243-248,316-354`).
+    On TPU the tile axis is padded to a static budget; ``valid`` masks the
+    padding out of both the similarity columns and the reduction.
+
+    student/teacher_features: [N, D]; valid: [N] bool.
+    """
+    s = student_features / jnp.maximum(
+        jnp.linalg.norm(student_features, axis=-1, keepdims=True), 1e-12
+    )
+    t = teacher_features / jnp.maximum(
+        jnp.linalg.norm(teacher_features, axis=-1, keepdims=True), 1e-12
+    )
+    logits = (s @ t.T) / temperature
+    neg_inf = jnp.finfo(logits.dtype).min
+    logits = jnp.where(valid[None, :], logits, neg_inf)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    diag = jnp.diagonal(log_probs)
+    n_valid = jnp.maximum(valid.sum(), 1)
+    return -(jnp.where(valid, diag, 0.0).sum() / n_valid)
+
+
 def ofa_loss(
     teacher_logits: jnp.ndarray,
     student_logits: jnp.ndarray,

@@ -124,8 +124,13 @@ class LlavaOnevision(nn.Module):
         positions: Optional[jnp.ndarray] = None,
         caches: Optional[list] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        return_hidden: bool = False,
+        compute_logits: bool = True,
     ):
-        """Returns (logits [B,S,V], vision_features [B,P,Dv], new_caches).
+        """Returns (logits [B,S,V], vision_features [B,P,Dv], new_caches)
+        or, with ``return_hidden=True``, a 4-tuple additionally carrying the
+        final-norm hidden states [B,S,D] (logits is None when
+        ``compute_logits=False`` — the KD train step computes them chunked).
 
         vision_features are per-tile mean-pooled post_layernorm outputs (the
         reference's hook side-channel, `phase1/...:243-248`), zeroed at
@@ -142,11 +147,17 @@ class LlavaOnevision(nn.Module):
                 pooled = pooled * tile_valid[..., None].astype(pooled.dtype)
             vision_features = pooled
 
-        logits, new_caches = self.language_model(
+        out = self.language_model(
             inputs_embeds=inputs_embeds,
             attention_mask=attention_mask,
             positions=positions,
             caches=caches,
             cache_index=cache_index,
+            return_hidden=return_hidden,
+            compute_logits=compute_logits,
         )
+        if return_hidden:
+            logits, new_caches, hidden = out
+            return logits, vision_features, new_caches, hidden
+        logits, new_caches = out
         return logits, vision_features, new_caches

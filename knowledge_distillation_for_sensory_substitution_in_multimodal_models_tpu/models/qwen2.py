@@ -175,6 +175,7 @@ class Qwen2LM(nn.Module):
         caches: Optional[list] = None,
         cache_index: Optional[jnp.ndarray] = None,
         return_hidden: bool = False,
+        compute_logits: bool = True,
     ):
         c = self.cfg
         if inputs_embeds is None:
@@ -199,7 +200,12 @@ class Qwen2LM(nn.Module):
                 new_caches.append(nc)
 
         x = self.norm(x)
-        if c.tie_word_embeddings:
+        if not compute_logits:
+            # KD path: the chunked loss computes logits head-chunk-wise from
+            # the hidden states, never materializing [B, S, V] (see
+            # losses/chunked.py); skip the full lm_head matmul here.
+            logits = None
+        elif c.tie_word_embeddings:
             logits = self.embed_tokens.attend(x)
         else:
             logits = self.lm_head(x)

@@ -1,0 +1,125 @@
+"""GSPMD partition rules for LLaVA-OneVision parameter trees.
+
+Replaces the reference's HF-accelerate ``device_map="auto"`` layer placement
+(`logit_based/OnlineKnowledgeDistillationLLavaOneVision.py:29-33,55-59`) with
+compiled sharding: every weight gets a ``PartitionSpec`` over the
+(data, fsdp, tensor) mesh and XLA inserts the all-gathers/reduce-scatters.
+
+Scheme (Megatron-style TP + ZeRO-style fsdp on the complementary dim):
+
+==============================  =======================  ====================
+weight                          shape                    spec
+==============================  =======================  ====================
+embed_tokens.embedding          [V, D]                   (tensor, fsdp)
+attn q/k/v kernel               [D, H*hd]                (fsdp, tensor)
+attn q/k/v bias                 [H*hd]                   (tensor,)
+attn o/out kernel               [H*hd, D]                (tensor, fsdp)
+mlp up/gate/fc1 kernel          [D, I]                   (fsdp, tensor)
+mlp down/fc2 kernel             [I, D]                   (tensor, fsdp)
+lm_head kernel                  [D, V]                   (fsdp, tensor)
+patch_embedding kernel          [kh, kw, C, D]           (None,None,None,tensor)
+projector linear_1              [Dv, Dt]                 (fsdp, tensor)
+projector linear_2              [Dt, Dt]                 (tensor, fsdp)
+norm scales/biases, newline     [D] / [T, D]             replicated
+==============================  =======================  ====================
+
+A dimension is only sharded when its size divides the mesh axis size —
+otherwise that dim falls back to replicated (keeps the same rules valid for
+the 0.5B student, whose kv-proj is tiny, and the 7B teacher).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+from flax import traverse_util
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import AXIS_DATA, AXIS_FSDP, AXIS_TENSOR
+
+
+def _rule_for_path(path: Tuple[str, ...]) -> Tuple:
+    """Logical spec for a param path (tuple of str keys, leaf name last)."""
+    name = path[-1]
+    parent = path[-2] if len(path) >= 2 else ""
+
+    # --- norms / small vectors: replicated ---
+    if name in ("scale", "weight") and (
+        "layernorm" in parent or "layer_norm" in parent or parent in ("norm", "post_layernorm")
+    ):
+        return ()
+    if name == "embedding":
+        return (AXIS_TENSOR, AXIS_FSDP)
+    if name == "image_newline" or name == "position_embedding":
+        return ()
+
+    if name == "kernel":
+        if parent in ("q_proj", "k_proj", "v_proj"):
+            return (AXIS_FSDP, AXIS_TENSOR)
+        if parent in ("o_proj", "out_proj"):
+            return (AXIS_TENSOR, AXIS_FSDP)
+        if parent in ("gate_proj", "up_proj", "fc1", "linear_1"):
+            return (AXIS_FSDP, AXIS_TENSOR)
+        if parent in ("down_proj", "fc2", "linear_2"):
+            return (AXIS_TENSOR, AXIS_FSDP)
+        if parent == "lm_head":
+            return (AXIS_FSDP, AXIS_TENSOR)
+        if parent == "patch_embedding":
+            return (None, None, None, AXIS_TENSOR)
+        return ()
+
+    if name == "bias":
+        if parent in ("q_proj", "k_proj", "v_proj", "fc1", "linear_1"):
+            return (AXIS_TENSOR,)
+        return ()
+
+    return ()
+
+
+def _fit(spec: Tuple, shape: Tuple[int, ...], mesh: Mesh) -> P:
+    """Pad the spec to the leaf rank; drop axes whose size doesn't divide."""
+    out = []
+    for d in range(len(shape)):
+        ax = spec[d] if d < len(spec) else None
+        if ax is not None and shape[d] % mesh.shape[ax] != 0:
+            ax = None
+        out.append(ax)
+    # Trailing Nones are implicit; keep explicit for clarity.
+    return P(*out)
+
+
+def param_partition_specs(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """PartitionSpec pytree matching ``params``' structure."""
+    flat = traverse_util.flatten_dict(params, keep_empty_nodes=False)
+    specs = {
+        path: _fit(_rule_for_path(path), leaf.shape, mesh)
+        for path, leaf in flat.items()
+    }
+    return traverse_util.unflatten_dict(specs)
+
+
+def logical_to_sharding(spec_tree: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Device-put a host param tree onto the mesh under the partition rules."""
+    specs = param_partition_specs(params, mesh)
+    shardings = logical_to_sharding(specs, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch axis sharded over data x fsdp (standard ZeRO data layout)."""
+    return NamedSharding(mesh, P((AXIS_DATA, AXIS_FSDP)))
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Device-put a host batch with the leading axis over (data, fsdp)."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)

@@ -1,0 +1,234 @@
+"""The single fused train step: teacher forward (no grad) + student
+forward/backward + phase-dispatched KD loss + gradient accumulation.
+
+This one compiled program replaces the reference's per-step Lightning loop
+(`phase1/OnlineKnowledgeDistillationLLavaOneVision.py:123-131,206-271` plus
+Lightning's ``accumulate_grad_batches=64`` outer loop,
+`phase1/train_online_kd.py:155`):
+
+* the frozen 7B teacher and the 0.5B student run inside the *same* XLA
+  program, so the compiler overlaps teacher inference with student compute
+  and never stores teacher activations (nothing differentiates through
+  them);
+* logits are never materialized — both heads feed the sequence-chunked loss
+  (``losses/chunked.py``);
+* micro-batch accumulation is a ``lax.scan`` over a leading accumulation
+  axis, keeping one resident gradient buffer (the TPU equivalent of
+  Lightning's ``accumulate_grad_batches``);
+* phase / strategy dispatch is static Python, so each (mode, phase) pair is
+  its own specialized program — no dead branches on device.
+
+Batch layout (all leaves statically shaped; ``A`` = accumulation steps):
+  student_input_ids / teacher_input_ids        [A, B, S]
+  student_attention_mask / teacher_...         [A, B, S]
+  student_pixel_values / teacher_...           [A, B, P, H, W, 3]
+  pack_idx [A,B,M,4]  pack_weight [A,B,M,4]  pack_valid [A,B,M]
+  tile_valid [A,B,P]  labels [A,B,S]
+(the pack spec is shared between streams: RGB and depth frames have
+identical dimensions, reference quirk SURVEY.md §2.5 #9).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax.training.train_state import TrainState
+
+from ..configs import LlavaOnevisionConfig, TrainConfig
+from ..losses.chunked import chunked_kd_terms
+from ..losses.kd_losses import masked_ntxent_loss
+from ..models.llava_onevision import LlavaOnevision
+
+
+class KDModels(NamedTuple):
+    student: LlavaOnevision
+    teacher: Optional[LlavaOnevision] = None
+
+
+def student_head(params: Dict[str, Any], cfg: LlavaOnevisionConfig) -> jnp.ndarray:
+    """[D, V] lm-head matrix of the student (tied embeddings for 0.5B)."""
+    lm = params["language_model"]
+    if cfg.text.tie_word_embeddings:
+        return lm["embed_tokens"]["embedding"].T
+    return lm["lm_head"]["kernel"]
+
+
+teacher_head = student_head  # same layout rules (7B is untied -> lm_head)
+
+
+def _forward_hidden(model, params, batch, prefix: str):
+    """Run one stream, returning (hidden [B,S,D], vision_feats [B,P,Dv])."""
+    _, vis, _, hidden = model.apply(
+        {"params": params},
+        input_ids=batch[f"{prefix}_input_ids"],
+        attention_mask=batch[f"{prefix}_attention_mask"],
+        pixel_values=batch.get(f"{prefix}_pixel_values"),
+        pack_idx=batch.get("pack_idx"),
+        pack_weight=batch.get("pack_weight"),
+        pack_valid=batch.get("pack_valid"),
+        tile_valid=batch.get("tile_valid"),
+        return_hidden=True,
+        compute_logits=False,
+    )
+    return hidden, vis
+
+
+def _flat_tile_features(vis: jnp.ndarray, tile_valid: jnp.ndarray):
+    """[B,P,Dv] -> ([B*P, Dv], [B*P]) for the tile-level contrastive loss."""
+    b, p, d = vis.shape
+    return vis.reshape(b * p, d), tile_valid.reshape(b * p)
+
+
+def make_loss_fn(models: KDModels, cfg: TrainConfig):
+    """Pure (student_params, teacher_params, micro_batch) -> (loss, metrics).
+
+    Loss composition per strategy (reference forward dispatch,
+    `phase1/OnlineKnowledgeDistillationLLavaOneVision.py:250-263`;
+    `logit_based/...:165-173`; `feature_based/...:191-230`):
+
+      baseline       : CE
+      logit_based    : LoCa-KL + CE
+      feature_based  : w_kl*KL + w_ce*CE + w_c*NT-Xent
+      double_trouble : p1 = w_kl*KL + w_c*NT-Xent
+                       p2 = LoCa-KL + CE
+                       p3 = gamma*(LoCa-KL + CE) + (1-gamma)*CE
+    """
+    lc = cfg.loss
+    mode, phase = cfg.kd_mode, cfg.phase
+    if mode == "double_trouble":
+        need_kl = phase == 1
+        need_loca = phase in (2, 3)
+        need_ce = phase in (2, 3)
+        need_contrastive = phase == 1
+    elif mode == "logit_based":
+        need_kl, need_loca, need_ce, need_contrastive = False, True, True, False
+    elif mode == "feature_based":
+        need_kl, need_loca, need_ce, need_contrastive = True, False, True, True
+    elif mode == "baseline":
+        need_kl, need_loca, need_ce, need_contrastive = False, False, True, False
+    else:
+        raise ValueError(f"unknown kd_mode {mode!r}")
+    need_teacher = need_kl or need_loca or need_contrastive
+    if need_teacher and models.teacher is None:
+        raise ValueError(f"kd_mode {mode!r} requires a teacher model")
+
+    def loss_fn(params, teacher_params, batch):
+        labels = batch["labels"]
+        s_hidden, s_vis = _forward_hidden(models.student, params, batch, "student")
+        ws = student_head(params, models.student.cfg)
+
+        th = t_vis = wt = None
+        if need_teacher:
+            t_hidden, t_vis = _forward_hidden(
+                models.teacher, teacher_params, batch, "teacher"
+            )
+            th = jax.lax.stop_gradient(t_hidden)
+            t_vis = jax.lax.stop_gradient(t_vis)
+            wt = teacher_head(teacher_params, models.teacher.cfg)
+
+        terms = chunked_kd_terms(
+            s_hidden,
+            ws,
+            labels,
+            teacher_hidden=th,
+            teacher_head=wt,
+            temperature=lc.temperature,
+            loca_alpha=lc.loca_alpha,
+            chunk_size=cfg.loss_chunk_size,
+            need_ce=need_ce,
+            need_kl=need_kl,
+            need_loca=need_loca,
+        )
+        metrics: Dict[str, jnp.ndarray] = dict(terms)
+
+        if need_contrastive:
+            sf, sv = _flat_tile_features(s_vis, batch["tile_valid"])
+            tf, _ = _flat_tile_features(t_vis, batch["tile_valid"])
+            con = masked_ntxent_loss(sf, tf, sv, lc.ntxent_temperature)
+            metrics["contrastive"] = con
+
+        if mode == "baseline":
+            loss = terms["ce"]
+        elif mode == "logit_based":
+            loss = terms["loca"] + terms["ce"]
+        elif mode == "feature_based":
+            loss = (
+                lc.soft_target_weight * terms["kl"]
+                + lc.ce_weight * terms["ce"]
+                + lc.contrastive_weight * metrics["contrastive"]
+            )
+        elif phase == 1:
+            loss = (
+                lc.soft_target_weight * terms["kl"]
+                + lc.contrastive_weight * metrics["contrastive"]
+            )
+        elif phase == 2:
+            loss = terms["loca"] + terms["ce"]
+        else:  # phase 3
+            loca_total = terms["loca"] + terms["ce"]
+            loss = lc.gamma * loca_total + (1.0 - lc.gamma) * terms["ce"]
+
+        metrics["loss"] = loss
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_train_step(models: KDModels, cfg: TrainConfig):
+    """Build ``step(state, teacher_params, batch) -> (state, metrics)``.
+
+    ``batch`` carries a leading accumulation axis A; gradients are averaged
+    over it inside a ``lax.scan`` before one optimizer update.  jit/pjit is
+    applied by the caller (with donate_argnums=0 on the state).
+    """
+    loss_fn = make_loss_fn(models, cfg)
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def train_step(
+        state: TrainState, teacher_params, batch
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        accum = jax.tree.leaves(batch)[0].shape[0]
+
+        def micro(carry, micro_batch):
+            g_acc, m_acc = carry
+            g, m = grad_fn(state.params, teacher_params, micro_batch)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            m_acc = jax.tree.map(jnp.add, m_acc, m)
+            return (g_acc, m_acc), None
+
+        if accum == 1:
+            grads, metrics = grad_fn(
+                state.params, teacher_params, jax.tree.map(lambda x: x[0], batch)
+            )
+        else:
+            g0 = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            m0 = jax.eval_shape(
+                lambda p, b: grad_fn(p, teacher_params, b)[1],
+                state.params,
+                jax.tree.map(lambda x: x[0], batch),
+            )
+            m0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
+            (grads, metrics), _ = jax.lax.scan(micro, (g0, m0), batch)
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            metrics = jax.tree.map(lambda m: m / accum, metrics)
+
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(models: KDModels, cfg: TrainConfig):
+    """``eval_step(params, teacher_params, micro_batch) -> metrics`` (the
+    reference's ``validation_step`` loss, `phase1/...:133-137`)."""
+    loss_fn = make_loss_fn(models, cfg)
+
+    def eval_step(params, teacher_params, batch):
+        _, metrics = loss_fn(params, teacher_params, batch)
+        return metrics
+
+    return eval_step
