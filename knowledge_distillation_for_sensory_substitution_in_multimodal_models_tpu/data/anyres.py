@@ -140,6 +140,31 @@ def num_image_tokens(
     return base + h2 * (w2 + 1)
 
 
+def constrained_grid(
+    original_size: Tuple[int, int],
+    pinpoints: Sequence[Tuple[int, int]],
+    base_size: int,
+    max_tiles: int,
+) -> Tuple[int, int]:
+    """(nph, npw) after applying the static tile budget.
+
+    When the best pinpoint would exceed ``max_tiles`` (incl. the base tile),
+    re-select among pinpoints that fit.  Used by BOTH the pack-spec builder
+    and the image preprocessor so device-side features and host-side tiles
+    always agree.
+    """
+    nph, npw = anyres_grid_shape(original_size, pinpoints, base_size)
+    if nph * npw + 1 > max_tiles:
+        allowed = [
+            (h, w)
+            for (h, w) in pinpoints
+            if (h // base_size) * (w // base_size) + 1 <= max_tiles
+        ]
+        bh, bw = select_best_resolution(original_size, allowed)
+        nph, npw = bh // base_size, bw // base_size
+    return nph, npw
+
+
 @dataclasses.dataclass
 class PackSpec:
     """Static-shape gather spec for one image.
@@ -174,17 +199,7 @@ def build_pack_spec(
     ts = tokens_per_side
     tp = ts * ts
     oh, ow = original_size
-    nph, npw = anyres_grid_shape(original_size, pinpoints, base_size)
-    if nph * npw + 1 > max_tiles:
-        # Truncate to the largest grid that fits the static tile budget,
-        # preserving aspect preference (fall back to square-ish grids).
-        allowed = [
-            (h, w)
-            for (h, w) in pinpoints
-            if (h // base_size) * (w // base_size) + 1 <= max_tiles
-        ]
-        bh, bw = select_best_resolution(original_size, allowed)
-        nph, npw = bh // base_size, bw // base_size
+    nph, npw = constrained_grid(original_size, pinpoints, base_size, max_tiles)
 
     h2, w2, uh, uw, pad_t, pad_l = packed_grid_size(
         oh, ow, nph, npw, ts, max_patches

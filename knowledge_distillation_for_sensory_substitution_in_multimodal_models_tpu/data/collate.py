@@ -1,0 +1,122 @@
+"""Static-shape dual-stream collation.
+
+Replaces the reference's ``collate_fn`` + double HF-processor call
+(`CustomSUNRGBDOneVisionDataModule.py:95-167`) with a TPU-friendly batch:
+every array is padded to a static (bucketed) shape so XLA compiles one
+program per bucket instead of one per unique sequence length.
+
+Emitted keys (train-step layout; the reference's
+{rgb,depth}_{input_ids,pixel_values} map to teacher_*/student_*):
+
+  student_input_ids / student_attention_mask / student_pixel_values   (depth)
+  teacher_input_ids / teacher_attention_mask / teacher_pixel_values   (RGB)
+  pack_idx / pack_weight / pack_valid / tile_valid    (shared: RGB and depth
+      frames have identical sizes, reference quirk SURVEY.md §2.5 #9)
+  labels        (input ids with pad -> -100; the reference supervises the
+      full sequence incl. the prompt, SURVEY.md §2.5 #4)
+  question_id   [B] int32
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..configs import LlavaOnevisionConfig
+from .anyres import build_pack_spec, stack_pack_specs
+from .chat import render_eval_prompt, render_train_prompt
+from .image_processing import process_anyres_batch
+from .tokenization import Tokenizer, encode_with_image
+
+IGNORE_INDEX = -100
+
+# Default sequence buckets: 729-token base + up to 9x729 anyres grid +
+# newlines + short QA text. Chosen as multiples of 128 covering SUNRGBD
+# (530x730 -> ~4843 tokens) up to the anyres_max_9 worst case.
+DEFAULT_BUCKETS = (1024, 2048, 3072, 4096, 5120, 6144, 7552)
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"sequence length {n} exceeds largest bucket {buckets[-1]}")
+
+
+class OneVisionCollator:
+    def __init__(
+        self,
+        cfg: LlavaOnevisionConfig,
+        tokenizer: Tokenizer,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        eval_mode: bool = False,
+    ):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.buckets = tuple(buckets)
+        self.eval_mode = eval_mode
+
+    def __call__(self, samples: List[tuple]) -> Dict[str, np.ndarray]:
+        cfg, tok = self.cfg, self.tokenizer
+        v = cfg.vision
+        questions, answers, rgbs, depths, idxs = zip(*samples)
+
+        specs = [
+            build_pack_spec(
+                rgb.shape[:2], cfg.image_grid_pinpoints, v.image_size,
+                v.tokens_per_side, cfg.vision_aspect_ratio_max,
+                cfg.max_tiles, cfg.max_image_tokens,
+            )
+            for rgb in rgbs
+        ]
+        pack_idx, pack_w, pack_valid = stack_pack_specs(specs)
+
+        rgb_pixels, tile_valid = process_anyres_batch(list(rgbs), cfg)
+        depth_pixels, _ = process_anyres_batch(list(depths), cfg)
+
+        id_rows = []
+        for q, a, spec in zip(questions, answers, specs):
+            text = (
+                render_eval_prompt(q)
+                if self.eval_mode
+                else render_train_prompt(q, a)
+            )
+            id_rows.append(encode_with_image(tok, text, spec.n_tokens))
+
+        max_len = max(len(r) for r in id_rows)
+        bucket = pick_bucket(max_len, self.buckets)
+        b = len(samples)
+        ids = np.full((b, bucket), tok.pad_token_id, dtype=np.int32)
+        mask = np.zeros((b, bucket), dtype=np.int32)
+        for i, row in enumerate(id_rows):
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+
+        labels = np.where(mask.astype(bool), ids, IGNORE_INDEX).astype(np.int32)
+
+        return {
+            "student_input_ids": ids,
+            "student_attention_mask": mask,
+            "student_pixel_values": depth_pixels,
+            "teacher_input_ids": ids.copy(),
+            "teacher_attention_mask": mask.copy(),
+            "teacher_pixel_values": rgb_pixels,
+            "pack_idx": pack_idx,
+            "pack_weight": pack_w,
+            "pack_valid": pack_valid,
+            "tile_valid": tile_valid,
+            "labels": labels,
+            "question_id": np.asarray(idxs, dtype=np.int32),
+        }
+
+
+def add_accum_axis(batches: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack A micro-batches into the train step's [A, B, ...] layout.
+
+    All micro-batches must share one bucket; the loader groups them.
+    """
+    out = {}
+    for k in batches[0]:
+        out[k] = np.stack([b[k] for b in batches])
+    return out

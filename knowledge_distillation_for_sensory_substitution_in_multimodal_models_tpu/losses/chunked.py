@@ -100,7 +100,11 @@ def chunked_kd_terms(
     # mark KD positions invalid via an explicit validity mask.
     pos_valid = jnp.ones((b, s_len), dtype=bool)
 
-    sh = _pad_to_multiple(student_hidden.astype(jnp.float32), chunk_size, axis=1)
+    # Keep hidden/head operands in their storage dtype (bf16 on TPU): the
+    # MXU accumulates in f32 via preferred_element_type, and logits-side
+    # math below is f32.  Casting operands up would double both the weight
+    # temp and its gradient (~1.5 GB for the 152k-vocab head).
+    sh = _pad_to_multiple(student_hidden, chunk_size, axis=1)
     ce_l = _pad_to_multiple(ce_labels, chunk_size, axis=1, value=IGNORE_INDEX)
     kd_l = _pad_to_multiple(labels, chunk_size, axis=1, value=IGNORE_INDEX)
     pv = _pad_to_multiple(pos_valid, chunk_size, axis=1, value=False)
@@ -116,11 +120,11 @@ def chunked_kd_terms(
         "pv": to_chunks(pv),
     }
     if need_teacher:
-        th = _pad_to_multiple(teacher_hidden.astype(jnp.float32), chunk_size, axis=1)
+        th = _pad_to_multiple(teacher_hidden, chunk_size, axis=1)
         xs["th"] = to_chunks(th)
 
-    ws = student_head.astype(jnp.float32)
-    wt = teacher_head.astype(jnp.float32) if need_teacher else None
+    ws = student_head
+    wt = teacher_head if need_teacher else None
 
     @functools.partial(jax.checkpoint, prevent_cse=False)
     def body(carry, chunk):

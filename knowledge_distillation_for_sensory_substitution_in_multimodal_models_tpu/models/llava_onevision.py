@@ -57,17 +57,25 @@ class MultiModalProjector(nn.Module):
 class LlavaOnevision(nn.Module):
     cfg: LlavaOnevisionConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+    attn_impl: str = "xla"  # "pallas" = flash-attention kernels
 
     def setup(self):
         c = self.cfg
-        self.vision_tower = SigLIPVisionTower(c.vision, self.dtype, name="vision_tower")
+        self.vision_tower = SigLIPVisionTower(
+            c.vision, self.dtype, remat=self.remat, attn_impl=self.attn_impl,
+            name="vision_tower"
+        )
         self.multi_modal_projector = MultiModalProjector(c, self.dtype, name="multi_modal_projector")
         self.image_newline = self.param(
             "image_newline",
             nn.initializers.normal(stddev=c.text.hidden_size**-0.5),
             (c.text.hidden_size,),
         )
-        self.language_model = Qwen2LM(c.text, self.dtype, name="language_model")
+        self.language_model = Qwen2LM(
+            c.text, self.dtype, remat=self.remat, attn_impl=self.attn_impl,
+            name="language_model"
+        )
 
     def encode_images(self, pixel_values: jnp.ndarray):
         """[B, P, H, W, 3] -> (projected [B, P, T, Dt], post_ln [B, P, T, Dv])."""
@@ -126,6 +134,7 @@ class LlavaOnevision(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         return_hidden: bool = False,
         compute_logits: bool = True,
+        decode_mask: Optional[jnp.ndarray] = None,
     ):
         """Returns (logits [B,S,V], vision_features [B,P,Dv], new_caches)
         or, with ``return_hidden=True``, a 4-tuple additionally carrying the
@@ -155,6 +164,7 @@ class LlavaOnevision(nn.Module):
             cache_index=cache_index,
             return_hidden=return_hidden,
             compute_logits=compute_logits,
+            decode_mask=decode_mask,
         )
         if return_hidden:
             logits, new_caches, hidden = out

@@ -58,6 +58,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 class Qwen2Attention(nn.Module):
     cfg: Qwen2Config
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -87,15 +88,32 @@ class Qwen2Attention(nn.Module):
 
         new_cache = None
         if cache is not None:
-            # Decode step: write k/v at cache_index, attend over the cache.
+            # Write k/v at cache_index, attend over the cache.  cache_index
+            # may be a scalar (uniform prefill) or [B] (per-sample decode
+            # offsets under right padding).
             ck, cv = cache["k"], cache["v"]
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+
+            def upd(c, x, idx):
+                if jnp.ndim(idx) == 0:
+                    return jax.lax.dynamic_update_slice(
+                        c, x.astype(c.dtype), (0, idx, 0, 0)
+                    )
+                return jax.vmap(
+                    lambda cb, xb, ib: jax.lax.dynamic_update_slice(
+                        cb, xb.astype(cb.dtype), (ib, 0, 0)
+                    )
+                )(c, x, idx)
+
+            ck = upd(ck, k, cache_index)
+            cv = upd(cv, v, cache_index)
             k, v = ck, cv
             new_cache = {"k": ck, "v": cv}
+            # Decode steps (Sq=1) stay on the XLA path; flash blocks are
+            # sized for prefill/training lengths.
             out = dot_product_attention(q, k, v, mask=mask, causal=False)
         else:
-            out = dot_product_attention(q, k, v, mask=mask, causal=True)
+            impl = self.attn_impl if s >= 128 else "xla"
+            out = dot_product_attention(q, k, v, mask=mask, causal=True, impl=impl)
 
         out = out.reshape(b, s, c.num_attention_heads * hd)
         out = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
@@ -121,11 +139,12 @@ class Qwen2MLP(nn.Module):
 class Qwen2Layer(nn.Module):
     cfg: Qwen2Config
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, cos, sin, mask, cache=None, cache_index=None):
         c = self.cfg
-        h, new_cache = Qwen2Attention(c, self.dtype, name="self_attn")(
+        h, new_cache = Qwen2Attention(c, self.dtype, self.attn_impl, name="self_attn")(
             RMSNorm(c.rms_norm_eps, self.dtype, name="input_layernorm")(x),
             cos, sin, mask, cache, cache_index,
         )
@@ -145,6 +164,13 @@ class Qwen2LM(nn.Module):
 
     cfg: Qwen2Config
     dtype: jnp.dtype = jnp.float32
+    # Rematerialize each decoder layer in backward (jax.checkpoint): at
+    # OneVision sequence lengths (~5-7k tokens) the stored attention
+    # probabilities alone would exceed v5e HBM (SURVEY.md §7 "hard parts");
+    # the reference sketches torch gradient checkpointing but leaves it
+    # commented (`phase1/OnlineKnowledge...:93-94`).
+    remat: bool = False
+    attn_impl: str = "xla"
 
     def setup(self):
         c = self.cfg
@@ -153,8 +179,11 @@ class Qwen2LM(nn.Module):
             embedding_init=nn.initializers.normal(stddev=0.02),
             name="embed_tokens",
         )
+        layer_cls = (
+            nn.remat(Qwen2Layer, prevent_cse=False) if self.remat else Qwen2Layer
+        )
         self.layers = [
-            Qwen2Layer(c, self.dtype, name=f"layers_{i}")
+            layer_cls(c, self.dtype, self.attn_impl, name=f"layers_{i}")
             for i in range(c.num_hidden_layers)
         ]
         self.norm = RMSNorm(c.rms_norm_eps, self.dtype, name="norm")
@@ -176,6 +205,7 @@ class Qwen2LM(nn.Module):
         cache_index: Optional[jnp.ndarray] = None,
         return_hidden: bool = False,
         compute_logits: bool = True,
+        decode_mask: Optional[jnp.ndarray] = None,
     ):
         c = self.cfg
         if inputs_embeds is None:
@@ -187,9 +217,13 @@ class Qwen2LM(nn.Module):
             positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
         cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta, self.dtype)
 
-        # attention_mask: [B, Skv] padding mask -> [B, 1, Sq, Skv]
+        # attention_mask: [B, Skv] padding mask -> [B, 1, Sq, Skv].
+        # decode_mask: explicit [B, 1, Sq, Skv] (cached prefill/decode paths
+        # encode causality + cache validity there; overrides attention_mask).
         mask = None
-        if attention_mask is not None:
+        if decode_mask is not None:
+            mask = decode_mask.astype(bool)
+        elif attention_mask is not None:
             mask = attention_mask[:, None, None, :].astype(bool)
 
         new_caches = [] if caches is not None else None

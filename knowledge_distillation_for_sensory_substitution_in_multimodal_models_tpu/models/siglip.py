@@ -27,6 +27,7 @@ from ..ops.attention import dot_product_attention
 class SigLIPAttention(nn.Module):
     cfg: SigLIPVisionConfig
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -38,7 +39,7 @@ class SigLIPAttention(nn.Module):
         q = dense("q_proj")(x).reshape(b, s, c.num_attention_heads, c.head_dim)
         k = dense("k_proj")(x).reshape(b, s, c.num_attention_heads, c.head_dim)
         v = dense("v_proj")(x).reshape(b, s, c.num_attention_heads, c.head_dim)
-        out = dot_product_attention(q, k, v)
+        out = dot_product_attention(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, s, c.hidden_size)
         return dense("out_proj")(out)
 
@@ -58,13 +59,14 @@ class SigLIPMLP(nn.Module):
 class SigLIPEncoderLayer(nn.Module):
     cfg: SigLIPVisionConfig
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
         ln1 = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="layer_norm1")
         ln2 = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="layer_norm2")
-        x = x + SigLIPAttention(c, self.dtype, name="self_attn")(ln1(x))
+        x = x + SigLIPAttention(c, self.dtype, self.attn_impl, name="self_attn")(ln1(x))
         x = x + SigLIPMLP(c, self.dtype, name="mlp")(ln2(x))
         return x
 
@@ -74,6 +76,10 @@ class SigLIPVisionTower(nn.Module):
 
     cfg: SigLIPVisionConfig
     dtype: jnp.dtype = jnp.float32
+    # Recompute encoder layers in backward; the anyres tile batch makes
+    # stored attention probs (~tiles x 16 x 729^2) the memory hot spot.
+    remat: bool = False
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -98,8 +104,13 @@ class SigLIPVisionTower(nn.Module):
         )
         x = x + pos.astype(self.dtype)[None]
 
+        layer_cls = (
+            nn.remat(SigLIPEncoderLayer, prevent_cse=False)
+            if self.remat
+            else SigLIPEncoderLayer
+        )
         for i in range(c.num_hidden_layers):
-            x = SigLIPEncoderLayer(c, self.dtype, name=f"layers_{i}")(x)
+            x = layer_cls(c, self.dtype, self.attn_impl, name=f"layers_{i}")(x)
 
         post = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=self.dtype, name="post_layernorm"

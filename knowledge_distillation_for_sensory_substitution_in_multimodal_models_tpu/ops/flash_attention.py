@@ -1,0 +1,470 @@
+"""Pallas TPU flash attention (forward + custom-VJP backward).
+
+Why: at OneVision sequence lengths (~5k anyres tokens) materialized
+attention probabilities are [H, S, S] f32 ≈ 1.2 GB *per layer* — the
+single-chip OOM observed with the XLA einsum path.  This kernel streams KV
+blocks through VMEM with an online softmax, so per-core live memory is
+O(block_q x block_k); the backward pass recomputes probabilities from the
+saved logsumexp instead of storing them.
+
+Supports:
+* GQA (kv heads broadcast over query-head groups via the k/v index_map)
+* causal masking (block-level skip + intra-block iota mask)
+* kv padding masks [B, Skv]
+* head_dim and sequence padding to TPU tile multiples (handled in the
+  wrapper; padded kv columns are masked, padded q rows sliced off)
+
+The reference gets attention from whatever torch SDPA dispatches to, with
+flash-attn explicitly commented out of its requirements
+(`requirements.txt:44`); this is the TPU-native replacement.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Finite "minus infinity": keeps exp()/max() well-defined for fully masked
+# rows (same approach as jax.experimental.pallas.ops flash kernels).
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _block_mask(
+    s: jnp.ndarray,
+    *,
+    causal: bool,
+    iq: jnp.ndarray,
+    ik: jnp.ndarray,
+    bq: int,
+    bk: int,
+    kv_mask_blk: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Apply causal/padding masks to one [bq, bk] logits block."""
+    if causal:
+        q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        k_pos = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(q_pos >= k_pos, s, MASK_VALUE)
+    if kv_mask_blk is not None:
+        s = jnp.where(kv_mask_blk, s, MASK_VALUE)
+    return s
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, kvm_ref,
+    o_ref, lse_ref,
+    acc_ref, m_ref, l_ref,
+    *, causal: bool, scale: float, bq: int, bk: int, n_kv: int,
+):
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, MASK_VALUE)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    def compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
+        k = k_ref[0, 0].astype(jnp.float32)  # [bk, d]
+        v = v_ref[0, 0].astype(jnp.float32)  # [bk, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [bq, bk]
+        kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None  # [1, bk]
+        s = _block_mask(
+            s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
+        )
+
+        m_prev = m_ref[:, 0:1]  # [bq, 1]
+        l_prev = l_ref[:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    if causal:
+        # Skip blocks strictly above the diagonal.
+        @pl.when(iq * bq + bq - 1 >= ik * bk)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(ik == n_kv - 1)
+    def _finalize():
+        l = l_ref[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, MASK_VALUE, m_ref[:, 0:1] + jnp.log(l_safe))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    acc_ref,
+    *, causal: bool, scale: float, bq: int, bk: int, n_kv: int,
+):
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, 0:1]
+        delta = delta_ref[0, 0][:, 0:1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+        s = _block_mask(
+            s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
+        )
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        acc_ref[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        @pl.when(iq * bq + bq - 1 >= ik * bk)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(ik == n_kv - 1)
+    def _write():
+        dq_ref[0, 0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, causal: bool, scale: float, bq: int, bk: int, n_q: int,
+):
+    ik, iq = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    def compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, 0:1]
+        delta = delta_ref[0, 0][:, 0:1]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+        s = _block_mask(
+            s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
+        )
+        p = jnp.exp(s - lse)  # [bq, bk]
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # p^T @ do -> [bk, d]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # ds^T @ q -> [bk, d]
+
+    if causal:
+        @pl.when(iq * bq + bq - 1 >= ik * bk)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(iq == n_q - 1)
+    def _write():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _specs(b, hq, group, bq, bk, d, kv_mask, q_major: bool):
+    """Common BlockSpecs for (q, k, v, kv_mask) given grid layout.
+
+    q_major=True  -> grid (b, hq, n_q, n_kv): q indexed by i, kv by j
+    q_major=False -> grid (b, hq, n_kv, n_q): kv indexed by i, q by j
+    """
+    if q_major:
+        qi = lambda b_, h, i, j: (b_, h, i, 0)
+        ki = lambda b_, h, i, j: (b_, h // group, j, 0)
+        mi = lambda b_, h, i, j: (b_, 0, j)
+    else:
+        qi = lambda b_, h, i, j: (b_, h, j, 0)
+        ki = lambda b_, h, i, j: (b_, h // group, i, 0)
+        mi = lambda b_, h, i, j: (b_, 0, i)
+    q_spec = pl.BlockSpec((1, 1, bq, d), qi, memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, 1, bk, d), ki, memory_space=pltpu.VMEM)
+    # kv mask carried as [B, 1, Skv]: the (1, bk) tail of the block equals /
+    # divides the array dims, satisfying the mosaic tiling constraint.
+    m_spec = (
+        pl.BlockSpec((1, 1, bk), mi, memory_space=pltpu.VMEM)
+        if kv_mask is not None
+        else None
+    )
+    return q_spec, k_spec, m_spec
+
+
+def _pick_block(s: int, target: int = 512) -> int:
+    """Largest block <= target minimizing padding waste (e.g. 729 -> 384,
+    padded seq 768, instead of 512 -> 1024)."""
+    if s <= 128:
+        return 128
+    best, best_padded = 128, ((s + 127) // 128) * 128
+    for b in (512, 384, 256, 128):
+        if b > target:
+            continue
+        padded = -(-s // b) * b
+        if padded < best_padded or (padded == best_padded and b > best):
+            best, best_padded = b, padded
+    return best
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, kv_mask, causal, scale):
+    out, _ = _flash_fwd_impl(q, k, v, kv_mask, causal, scale)
+    return out
+
+
+def _flash_fwd_impl(q, k, v, kv_mask, causal, scale):
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.shape
+    group = hq // hkv
+    bq, bk = _pick_block(sq), _pick_block(skv)
+    n_q, n_kv = sq // bq, skv // bk
+
+    q_spec, k_spec, m_spec = _specs(b, hq, group, bq, bk, d, kv_mask, True)
+    in_specs = [q_spec, k_spec, k_spec]
+    inputs = [q, k, v]
+    if kv_mask is not None:
+        in_specs.append(m_spec)
+        inputs.append(kv_mask.astype(jnp.int8)[:, None, :])
+    else:
+        in_specs.append(None)
+        inputs.append(None)
+
+    kernel = functools.partial(
+        _fwd_kernel, causal=causal, scale=scale, bq=bq, bk=bk, n_kv=n_kv
+    )
+    if kv_mask is None:
+        kernel = _drop_arg(kernel, 3)
+        in_specs = in_specs[:3]
+        inputs = inputs[:3]
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b, hq, n_q, n_kv),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+    )(*inputs)
+    return out, lse
+
+
+def _drop_arg(kernel, idx):
+    """Adapter: call `kernel` with None spliced in at positional `idx`."""
+
+    def wrapped(*refs):
+        refs = list(refs)
+        refs.insert(idx, None)
+        return kernel(*refs)
+
+    return wrapped
+
+
+def _flash_vjp_fwd(q, k, v, kv_mask, causal, scale):
+    out, lse = _flash_fwd_impl(q, k, v, kv_mask, causal, scale)
+    return out, (q, k, v, kv_mask, out, lse)
+
+
+def _flash_vjp_bwd(causal, scale, residuals, g):
+    q, k, v, kv_mask, out, lse = residuals
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.shape
+    group = hq // hkv
+    bq, bk = _pick_block(sq), _pick_block(skv)
+    n_q, n_kv = sq // bq, skv // bk
+
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [b, hq, sq, 1]
+    delta = jnp.broadcast_to(delta, (b, hq, sq, 128))
+
+    has_mask = kv_mask is not None
+    kvm = kv_mask.astype(jnp.int8)[:, None, :] if has_mask else None
+
+    # ---- dq ----
+    q_spec, k_spec, m_spec = _specs(b, hq, group, bq, bk, d, kv_mask, True)
+    lse_spec = pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0),
+                            memory_space=pltpu.VMEM)
+    dq_kernel = functools.partial(
+        _dq_kernel, causal=causal, scale=scale, bq=bq, bk=bk, n_kv=n_kv
+    )
+    in_specs = [q_spec, k_spec, k_spec, m_spec, q_spec, lse_spec, lse_spec]
+    inputs = [q, k, v, kvm, g, lse, delta]
+    if not has_mask:
+        dq_kernel = _drop_arg(dq_kernel, 3)
+        in_specs = in_specs[:3] + in_specs[4:]
+        inputs = inputs[:3] + inputs[4:]
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, hq, n_q, n_kv),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+    )(*inputs)
+
+    # ---- dk, dv (per query-head; summed into kv heads afterwards) ----
+    q_spec2, k_spec2, m_spec2 = _specs(b, hq, group, bq, bk, d, kv_mask, False)
+    lse_spec2 = pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, j, 0),
+                             memory_space=pltpu.VMEM)
+    kv_out_spec = pl.BlockSpec(
+        (1, 1, bk, d), lambda b_, h, i, j: (b_, h, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dkv_kernel = functools.partial(
+        _dkv_kernel, causal=causal, scale=scale, bq=bq, bk=bk, n_q=n_q
+    )
+    in_specs = [q_spec2, k_spec2, k_spec2, m_spec2, q_spec2, lse_spec2, lse_spec2]
+    inputs = [q, k, v, kvm, g, lse, delta]
+    if not has_mask:
+        dkv_kernel = _drop_arg(dkv_kernel, 3)
+        in_specs = in_specs[:3] + in_specs[4:]
+        inputs = inputs[:3] + inputs[4:]
+    dk_h, dv_h = pl.pallas_call(
+        dkv_kernel,
+        grid=(b, hq, n_kv, n_q),
+        in_specs=in_specs,
+        out_specs=[kv_out_spec, kv_out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, skv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, skv, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+    )(*inputs)
+    if group > 1:
+        dk = dk_h.reshape(b, hkv, group, skv, d).sum(axis=2)
+        dv = dv_h.reshape(b, hkv, group, skv, d).sum(axis=2)
+    else:
+        dk, dv = dk_h, dv_h
+    dkvm = None
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), dkvm
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def _pad_axis(x, mult, axis):
+    s = x.shape[axis]
+    pad = (-s) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """BSHD flash attention.  q [B,Sq,Hq,D], k/v [B,Skv,Hkv,D].
+
+    ``mask``: None, [B, Skv], or a broadcastable [B, 1, 1, Skv] kv-padding
+    mask (True = attend).  Arbitrary [B, 1, Sq, Skv] masks are not
+    supported here — the callers only produce kv-padding + causal.
+    """
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    if scale is None:
+        scale = d**-0.5
+
+    kv_mask = None
+    if mask is not None:
+        if mask.ndim == 4:
+            if mask.shape[1] != 1 or mask.shape[2] != 1:
+                raise ValueError(
+                    "flash_attention supports kv-padding masks only; got "
+                    f"shape {mask.shape}"
+                )
+            kv_mask = mask[:, 0, 0, :]
+        elif mask.ndim == 2:
+            kv_mask = mask
+        else:
+            raise ValueError(f"unsupported mask ndim {mask.ndim}")
+        kv_mask = jnp.broadcast_to(kv_mask, (b, skv))
+
+    # BSHD -> BHSD, pad D to lane multiple and S to block multiples.
+    qt = _pad_axis(jnp.swapaxes(q, 1, 2), 128, 3)
+    kt = _pad_axis(jnp.swapaxes(k, 1, 2), 128, 3)
+    vt = _pad_axis(jnp.swapaxes(v, 1, 2), 128, 3)
+    bq, bk = _pick_block(sq), _pick_block(skv)
+    qt = _pad_axis(qt, bq, 2)
+    kt = _pad_axis(kt, bk, 2)
+    vt = _pad_axis(vt, bk, 2)
+    # The padded lengths must be divisible by the chosen blocks (they are,
+    # by construction of _pad_axis); the fwd/bwd impls recompute the same
+    # (bq, bk) from the padded shapes.
+    if kt.shape[2] != skv:
+        # padded kv columns must be masked out
+        if kv_mask is None:
+            kv_mask = jnp.ones((b, skv), dtype=bool)
+    if kv_mask is not None and kv_mask.shape[1] != kt.shape[2]:
+        kv_mask = _pad_axis(kv_mask, kt.shape[2], 1)
+
+    out = _flash(qt, kt, vt, kv_mask, causal, scale)
+    out = out[:, :, :sq, :d]
+    return jnp.swapaxes(out, 1, 2).astype(q.dtype)

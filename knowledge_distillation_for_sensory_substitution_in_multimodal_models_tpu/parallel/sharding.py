@@ -114,12 +114,20 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return jax.tree.map(jax.device_put, params, shardings)
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch axis sharded over data x fsdp (standard ZeRO data layout)."""
+def batch_sharding(mesh: Mesh, accum: bool = False) -> NamedSharding:
+    """Batch-axis sharding over data x fsdp (standard ZeRO data layout).
+
+    With ``accum=True`` the leading axis is the gradient-accumulation axis
+    (scanned over *in time*, never sharded); the batch axis is axis 1.
+    """
+    if accum:
+        return NamedSharding(mesh, P(None, (AXIS_DATA, AXIS_FSDP)))
     return NamedSharding(mesh, P((AXIS_DATA, AXIS_FSDP)))
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Device-put a host batch with the leading axis over (data, fsdp)."""
-    s = batch_sharding(mesh)
+def shard_batch(
+    batch: Dict[str, Any], mesh: Mesh, accum: bool = True
+) -> Dict[str, Any]:
+    """Device-put a host batch, sharding the batch axis over (data, fsdp)."""
+    s = batch_sharding(mesh, accum)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)

@@ -1,0 +1,184 @@
+"""End-to-end data pipeline: synthetic SUNRGBD tree on disk -> dataset ->
+collator -> loader -> one KD train step on the tiny models."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training.train_state import TrainState
+
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.configs import (
+    TrainConfig,
+    llava_onevision_tiny,
+    llava_onevision_tiny_teacher,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.collate import (
+    OneVisionCollator,
+    add_accum_axis,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.dataset import (
+    SUNRGBDVQADataset,
+    remove_duplicate_sunrgbd_segment,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.loader import (
+    OneVisionLoader,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.tokenization import (
+    HashTokenizer,
+    encode_with_image,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.chat import (
+    render_eval_prompt,
+    render_train_prompt,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.models import (
+    LlavaOnevision,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.train import (
+    KDModels,
+    make_train_step,
+)
+
+CFG = llava_onevision_tiny()
+
+
+@pytest.fixture(scope="module")
+def sunrgbd_root(tmp_path_factory):
+    """Synthetic SUNRGBD layout: csv_data + kv1/... images, reference path
+    scheme incl. the duplicated-SUNRGBD quirk."""
+    root = tmp_path_factory.mktemp("data")
+    sun = root / "SUNRGBD"
+    (sun / "csv_data").mkdir(parents=True)
+    (sun / "kv1" / "img").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(6):
+        h, w = [(45, 67), (30, 80), (52, 52)][i % 3]
+        rgb = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+        depth = rng.integers(0, 65535, size=(h, w)).astype(np.uint16)
+        Image.fromarray(rgb).save(sun / "kv1" / "img" / f"rgb_{i}.png")
+        Image.fromarray(depth).save(sun / "kv1" / "img" / f"d_{i}.png")
+        rows.append(
+            {
+                "Question_Id": i,
+                "Questions": f"what is object {i}?",
+                "Answers": ["chair", "table", "bed"][i % 3],
+                # duplicated SUNRGBD segment, as in the real CSVs
+                "Image_Path": f"SUNRGBD/kv1/img/rgb_{i}.png",
+                "Depth_Path": f"SUNRGBD/kv1/img/d_{i}.png",
+                "Question_Type": "Object Identification",
+            }
+        )
+    import pandas as pd
+
+    for split in ("train_dataset.csv", "val_dataset.csv"):
+        pd.DataFrame(rows).to_csv(sun / "csv_data" / split, index=False)
+    return str(root)
+
+
+def test_path_cleanup():
+    # strips the FIRST occurrence (reference `:22-26`), so the duplicated
+    # root collapses to one SUNRGBD segment
+    assert (
+        remove_duplicate_sunrgbd_segment("/r/SUNRGBD/SUNRGBD/kv1/x.png")
+        == "/r//SUNRGBD/kv1/x.png"
+    )
+
+
+def test_dataset_and_subset(sunrgbd_root):
+    ds = SUNRGBDVQADataset(sunrgbd_root, "train_dataset.csv")
+    assert len(ds) == 6
+    q, a, rgb, depth3, idx = ds[0]
+    assert q.startswith("what is object")
+    assert rgb.ndim == 3 and rgb.shape[2] == 3
+    assert depth3.dtype == np.uint8 and depth3.shape == rgb.shape
+    ds_half = SUNRGBDVQADataset(sunrgbd_root, "train_dataset.csv", subset_percentage=0.5)
+    assert len(ds_half) == 3
+
+
+def test_tokenizer_roundtrip():
+    tok = HashTokenizer()
+    text = render_train_prompt("how many chairs?", "two")
+    ids = encode_with_image(tok, text, 7)
+    assert ids.count(tok.image_token_id) == 7
+    assert tok.SPECIALS["<|im_start|>"] in ids
+    etext = render_eval_prompt("how many chairs?")
+    assert etext.endswith("assistant\n")
+
+
+def test_loader_to_train_step(sunrgbd_root):
+    ds = SUNRGBDVQADataset(sunrgbd_root, "train_dataset.csv")
+    tok = HashTokenizer(
+        vocab_size=CFG.text.vocab_size,
+        pad_token_id=CFG.pad_token_id,
+        eos_token_id=CFG.eos_token_id,
+        image_token_id=CFG.image_token_id,
+    )
+    # tiny vocab: squash hashed ids into range
+    tok.SPECIALS = {
+        "<|im_start|>": CFG.text.vocab_size - 6,
+        "<|im_end|>": CFG.pad_token_id,
+        "<image>": CFG.image_token_id,
+        "<video>": CFG.video_token_id,
+    }
+    tok._word_id_orig = tok._word_id
+
+    def _wid(w):
+        if w in tok.SPECIALS:
+            return tok.SPECIALS[w]
+        import hashlib
+
+        h = int.from_bytes(hashlib.sha1(w.encode()).digest()[:4], "big")
+        return h % (CFG.text.vocab_size - 8)
+
+    tok._word_id = _wid
+
+    collator = OneVisionCollator(CFG, tok, buckets=(128, 256))
+    loader = OneVisionLoader(
+        ds, collator, batch_size=2, accum=2, shuffle=True, num_workers=2
+    )
+    batches = list(loader)
+    assert len(batches) >= 1
+    batch = batches[0]
+    assert batch["student_input_ids"].shape[0] == 2  # accum axis
+    assert batch["student_pixel_values"].shape[2:] == (
+        CFG.max_tiles, CFG.vision.image_size, CFG.vision.image_size, 3,
+    )
+    # image-token counts match pack_valid counts per sample
+    for a in range(2):
+        for b in range(2):
+            n_img = (batch["student_input_ids"][a, b] == CFG.image_token_id).sum()
+            assert n_img == batch["pack_valid"][a, b].sum()
+
+    # one train step end-to-end
+    student = LlavaOnevision(CFG)
+    teacher = LlavaOnevision(llava_onevision_tiny_teacher())
+    jb = jax.tree.map(jnp.asarray, {k: v for k, v in batch.items() if k != "question_id"})
+    micro = jax.tree.map(lambda x: x[0], jb)
+
+    def init(model, key, prefix):
+        return model.init(
+            jax.random.PRNGKey(key),
+            input_ids=micro[f"{prefix}_input_ids"],
+            attention_mask=micro[f"{prefix}_attention_mask"],
+            pixel_values=micro[f"{prefix}_pixel_values"],
+            pack_idx=micro["pack_idx"],
+            pack_weight=micro["pack_weight"],
+            pack_valid=micro["pack_valid"],
+            tile_valid=micro["tile_valid"],
+        )["params"]
+
+    sparams = init(student, 0, "student")
+    tparams = init(teacher, 1, "teacher")
+    cfg = TrainConfig(kd_mode="double_trouble", phase=3, loss_chunk_size=32)
+    state = TrainState.create(
+        apply_fn=None, params=sparams, tx=optax.adamw(1e-3)
+    )
+    step = jax.jit(make_train_step(KDModels(student, teacher), cfg))
+    _, metrics = step(state, tparams, jb)
+    assert np.isfinite(float(metrics["loss"]))

@@ -1,0 +1,81 @@
+"""Flash-attention kernel vs the XLA reference implementation (values and
+gradients), run in Pallas interpret mode on CPU."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.attention import (
+    dot_product_attention,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.flash_attention import (
+    flash_attention,
+)
+
+
+def _mk(b, sq, skv, hq, hkv, d, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(b, sq, hq, d)).astype(np.float32)
+    k = rng.normal(size=(b, skv, hkv, d)).astype(np.float32)
+    v = rng.normal(size=(b, skv, hkv, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+CASES = [
+    # (b, sq, skv, hq, hkv, d, causal, masked)
+    (1, 256, 256, 2, 2, 64, False, False),
+    (2, 256, 256, 4, 2, 64, True, True),   # GQA + causal + padding
+    (1, 384, 384, 2, 1, 128, True, False),
+    (1, 200, 200, 2, 2, 64, True, True),   # non-multiple seq (padding path)
+]
+
+
+@pytest.mark.parametrize("b,sq,skv,hq,hkv,d,causal,masked", CASES)
+def test_flash_forward_matches_xla(b, sq, skv, hq, hkv, d, causal, masked):
+    q, k, v = _mk(b, sq, skv, hq, hkv, d)
+    mask = None
+    if masked:
+        m = np.ones((b, skv), dtype=bool)
+        m[:, skv - 37 :] = False
+        mask = jnp.asarray(m)
+
+    ref = dot_product_attention(
+        q, k, v,
+        mask=mask[:, None, None, :] if mask is not None else None,
+        causal=causal,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, mask=mask, causal=causal)
+
+    valid_q = np.ones((b, sq), dtype=bool)  # all queries attend something
+    np.testing.assert_allclose(
+        np.asarray(got)[valid_q], np.asarray(ref)[valid_q], atol=2e-5, rtol=2e-5
+    )
+
+
+def test_flash_grads_match_xla():
+    b, sq, skv, hq, hkv, d = 1, 256, 256, 4, 2, 64
+    q, k, v = _mk(b, sq, skv, hq, hkv, d, seed=1)
+    m = np.ones((b, skv), dtype=bool)
+    m[:, -29:] = False
+    mask = jnp.asarray(m)
+
+    def loss_ref(q_, k_, v_):
+        o = dot_product_attention(
+            q_, k_, v_, mask=mask[:, None, None, :], causal=True
+        )
+        return (o * jnp.cos(o)).sum()
+
+    def loss_flash(q_, k_, v_):
+        o = flash_attention(q_, k_, v_, mask=mask, causal=True)
+        return (o * jnp.cos(o)).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_flash):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), atol=5e-4, rtol=5e-4
+        )
