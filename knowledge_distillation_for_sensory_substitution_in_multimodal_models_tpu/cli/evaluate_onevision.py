@@ -1,0 +1,169 @@
+"""Evaluator CLI (parity with `evaluation/onevisionv3/evaluate_onevision.py`).
+
+Reference flags (`evaluate_onevision.py:300-307`) kept:
+  --model_id --gts_type {val,test} --kd_model_type --phase_no
+  --pixel_data_type {depth,rgb} --student_ckpt_path
+(the reference hardcodes kd_model_type="double_trouble" and
+pixel_data_type="depth" over the CLI values, SURVEY.md §2.3 "Evaluator
+quirks"; here the flags are honored).
+
+TPU-native differences: decoding is a jit-compiled batched KV-cache
+generator (`eval/decode.py`) instead of a per-row ``model.generate`` loop;
+the depth stream reproduces the eval-path ImageNet-bake quirk
+(`--eval_depth_quirk`, default on for parity).  Predictions CSV columns
+match exactly: Question_Id, Questions, Question_Type, Answers, Model_Answer
+(`evaluate_onevision.py:433-439`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import tempfile
+
+from . import common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_id", type=str,
+                   default="llava-hf/llava-onevision-qwen2-0.5b-ov-hf")
+    p.add_argument("--gts_type", type=str, default="val", choices=["val", "test"])
+    p.add_argument("--kd_model_type", type=str, default="double_trouble")
+    p.add_argument("--phase_no", type=str, default="3")
+    p.add_argument("--pixel_data_type", type=str, default="depth",
+                   choices=["depth", "rgb"])
+    p.add_argument("--student_ckpt_path", type=str, default=None)
+    p.add_argument("--subset_percentage", type=float, default=None)
+    p.add_argument("--eval_batch_size", type=int, default=1)
+    p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--predictions_dir", type=str, default="dataset/predictions")
+    p.add_argument("--eval_depth_quirk", action="store_true", default=True)
+    p.add_argument("--no_eval_depth_quirk", dest="eval_depth_quirk",
+                   action="store_false")
+    p.add_argument("--root_data_dir", type=str, default=None)
+    common.add_tpu_flags(p)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    common.load_env()
+    common.setup_platform(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pandas as pd
+
+    from ..data.collate import OneVisionCollator
+    from ..data.dataset import SUNRGBDVQADataset
+    from ..eval.decode import GenerateConfig, Generator
+    from ..eval.results import update_summary
+    from ..models import LlavaOnevision
+    from ..train.checkpoint import CheckpointManager, find_best_checkpoint
+    from ..utils.numwords import digits_to_words
+
+    root = args.root_data_dir or os.environ.get("ROOT_DATA_DIR")
+    if args.synthetic_data:
+        root = common.ensure_synthetic_dataset(root or tempfile.mkdtemp(prefix="kdss_synth_"))
+    if not root:
+        raise SystemExit("set ROOT_DATA_DIR or pass --root_data_dir / --synthetic_data")
+
+    scfg, _ = common.model_configs(args)
+    attn_impl = common.resolve_attn_impl(args)
+    dtype = jnp.float32 if args.cpu else jnp.bfloat16
+    student = LlavaOnevision(scfg, dtype=dtype, attn_impl=attn_impl)
+    tok = common.make_tokenizer(args, scfg)
+
+    params = common.init_or_load_params(student, scfg, args.student_weights, args.seed)
+    if args.student_ckpt_path:
+        mgr = CheckpointManager(os.path.dirname(args.student_ckpt_path))
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+            {"params": params},
+        )
+        # checkpoints store {params, opt_state, step}; restore params only
+        full = mgr.restore(
+            args.student_ckpt_path,
+            {"params": abstract["params"]},
+            partial=True,
+        )
+        params = full["params"]
+        print(f"loaded student params from {args.student_ckpt_path}")
+
+    depth_encoding = (
+        "prewitt_imagenet" if args.eval_depth_quirk else "prewitt"
+    )
+    ds = SUNRGBDVQADataset(
+        root, f"{args.gts_type}_dataset.csv", args.subset_percentage,
+        depth_encoding=depth_encoding,
+    )
+    buckets = (256,) if (args.synthetic_data or args.tiny_model) else None
+    collator = OneVisionCollator(
+        scfg, tok, eval_mode=True, **(dict(buckets=buckets) if buckets else {})
+    )
+
+    gen = Generator(
+        student, scfg,
+        GenerateConfig(
+            max_new_tokens=args.max_new_tokens,
+            eos_token_id=scfg.eos_token_id,
+        ),
+    )
+
+    rows = []
+    bs = args.eval_batch_size
+    df = ds.df
+    for start in range(0, len(ds), bs):
+        idxs = list(range(start, min(start + bs, len(ds))))
+        samples = [ds[i] for i in idxs]
+        batch = collator(samples)
+        if args.pixel_data_type == "rgb":
+            batch["student_pixel_values"] = batch["teacher_pixel_values"]
+        jb = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if not k.startswith("teacher_") and k != "question_id"
+        }
+        out = gen.generate(params, jb)
+        seqs = np.asarray(out["sequences"])
+        plens = np.asarray(out["prompt_lengths"])
+        valid = np.asarray(out["valid"])
+        for j, i in enumerate(idxs):
+            gen_ids = [
+                int(t) for t, v in zip(seqs[j, plens[j]:], valid[j, plens[j]:]) if v
+            ]
+            # strip eos
+            if gen_ids and gen_ids[-1] == scfg.eos_token_id:
+                gen_ids = gen_ids[:-1]
+            text = tok.decode(gen_ids).strip()
+            answer = digits_to_words(text).lower().strip()
+            rows.append({
+                "Question_Id": int(df.iloc[i, 0]) if "Question_Id" in df.columns else i,
+                "Questions": samples[j][0],
+                "Question_Type": df.iloc[i].get("Question_Type", ""),
+                "Answers": samples[j][1],
+                "Model_Answer": answer,
+            })
+        if start % (10 * bs) == 0:
+            print(f"evaluated {start + len(idxs)}/{len(ds)}", flush=True)
+
+    os.makedirs(args.predictions_dir, exist_ok=True)
+    phase = f"phase{args.phase_no}" if args.kd_model_type == "double_trouble" else ""
+    fname = (
+        f"results_kd_modeltypeL{args.pixel_data_type}_{args.gts_type}_"
+        f"{args.kd_model_type}{phase}.csv"
+    )
+    out_path = os.path.join(args.predictions_dir, fname)
+    pd.DataFrame(rows).to_csv(out_path, index=False)
+    print("Results saved to:", out_path)
+
+    summary = update_summary(args.predictions_dir)
+    tail = summary.tail(1).to_dict("records")
+    print("summary:", tail)
+
+
+if __name__ == "__main__":
+    main()

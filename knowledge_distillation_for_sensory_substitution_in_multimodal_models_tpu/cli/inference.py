@@ -1,0 +1,99 @@
+"""Single-sample inference demo (parity with `inference/inference.py:30-114`):
+load a checkpoint, encode one depth image, generate one answer, print a
+one-row DataFrame.
+
+Offline smoke:
+  python -m ...cli.inference --synthetic_data --cpu --row 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import tempfile
+
+from . import common
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--row", type=int, default=0, help="dataset row to run")
+    p.add_argument("--gts_type", type=str, default="val")
+    p.add_argument("--student_ckpt_path", type=str, default=None)
+    p.add_argument("--pixel_data_type", type=str, default="depth",
+                   choices=["depth", "rgb"])
+    p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--root_data_dir", type=str, default=None)
+    common.add_tpu_flags(p)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    common.load_env()
+    common.setup_platform(args)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pandas as pd
+
+    from ..data.collate import OneVisionCollator
+    from ..data.dataset import SUNRGBDVQADataset
+    from ..eval.decode import GenerateConfig, Generator
+    from ..models import LlavaOnevision
+    from ..train.checkpoint import CheckpointManager
+    from ..utils.numwords import digits_to_words
+
+    root = args.root_data_dir or os.environ.get("ROOT_DATA_DIR")
+    if args.synthetic_data:
+        root = common.ensure_synthetic_dataset(root or tempfile.mkdtemp(prefix="kdss_synth_"))
+    if not root:
+        raise SystemExit("set ROOT_DATA_DIR or pass --root_data_dir / --synthetic_data")
+
+    scfg, _ = common.model_configs(args)
+    dtype = jnp.float32 if args.cpu else jnp.bfloat16
+    student = LlavaOnevision(scfg, dtype=dtype, attn_impl=common.resolve_attn_impl(args))
+    tok = common.make_tokenizer(args, scfg)
+    params = common.init_or_load_params(student, scfg, args.student_weights, args.seed)
+    if args.student_ckpt_path:
+        mgr = CheckpointManager(os.path.dirname(args.student_ckpt_path))
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), {"params": params}
+        )
+        params = mgr.restore(args.student_ckpt_path, abstract, partial=True)["params"]
+
+    ds = SUNRGBDVQADataset(
+        root, f"{args.gts_type}_dataset.csv",
+        depth_encoding="prewitt_imagenet",
+    )
+    sample = ds[args.row]
+    buckets = (256,) if (args.synthetic_data or args.tiny_model) else None
+    collator = OneVisionCollator(
+        scfg, tok, eval_mode=True, **(dict(buckets=buckets) if buckets else {})
+    )
+    batch = collator([sample])
+    if args.pixel_data_type == "rgb":
+        batch["student_pixel_values"] = batch["teacher_pixel_values"]
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if not k.startswith("teacher_") and k != "question_id"}
+
+    gen = Generator(student, scfg, GenerateConfig(
+        max_new_tokens=args.max_new_tokens, eos_token_id=scfg.eos_token_id))
+    out = gen.generate(params, jb)
+    seqs, plens = np.asarray(out["sequences"]), np.asarray(out["prompt_lengths"])
+    valid = np.asarray(out["valid"])
+    gen_ids = [int(t) for t, v in zip(seqs[0, plens[0]:], valid[0, plens[0]:]) if v]
+    if gen_ids and gen_ids[-1] == scfg.eos_token_id:
+        gen_ids = gen_ids[:-1]
+    answer = digits_to_words(tok.decode(gen_ids).strip()).lower()
+
+    print(pd.DataFrame([{
+        "Question": sample[0],
+        "Ground_Truth": sample[1],
+        "Model_Answer": answer,
+    }]).to_string(index=False))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,10 @@ class SUNRGBDVQADataset:
             subset_size = int(len(self.df) * subset_percentage)
             self.df = self.df.iloc[:subset_size]
         self.dataset_directory = os.path.join(root_data_dir, "SUNRGBD")
-        assert depth_encoding in ("prewitt", "gray3")
+        # "prewitt_imagenet" reproduces the eval-path quirk of baking
+        # ImageNet normalization into the uint8 image before the processor
+        # normalizes again (SURVEY.md §2.5 #5, `evaluate_onevision.py:279-288`).
+        assert depth_encoding in ("prewitt", "gray3", "prewitt_imagenet")
         self.depth_encoding = depth_encoding
 
     def __len__(self) -> int:
@@ -74,6 +77,8 @@ class SUNRGBDVQADataset:
         depth_raw = np.array(Image.open(depth_path))
         if self.depth_encoding == "prewitt":
             depth3 = depth_to_3ch_numpy(depth_raw)
+        elif self.depth_encoding == "prewitt_imagenet":
+            depth3 = depth_to_3ch_numpy(depth_raw, imagenet_bake=True)
         else:
             depth3 = depth_to_gray3_numpy(depth_raw)
         question = str(self.df.iloc[idx, 1])

@@ -118,7 +118,7 @@ def metrics_backend() -> str:
 def per_category_metrics(
     df: pd.DataFrame,
     pred_col: str = "Model_Answer",
-    ref_col: str = "Ground_Truth",
+    ref_col: str = "Answers",
     category_col: str = "Question_Type",
 ) -> Dict[str, Dict[str, float]]:
     """Groupby-Question_Type variants (reference `metric.py:75-116`)."""
@@ -139,7 +139,7 @@ def per_category_metrics(
 def summarize_predictions(
     df: pd.DataFrame,
     pred_col: str = "Model_Answer",
-    ref_col: str = "Ground_Truth",
+    ref_col: str = "Answers",
 ) -> Dict[str, object]:
     """One summary row, mirroring get_all_results.py's columns."""
     row: Dict[str, object] = {

@@ -191,14 +191,24 @@ def loca_loss(
     return kl.mean() * (temperature**2)
 
 
+def _l2_normalize(x: jnp.ndarray, eps: float = 1e-24) -> jnp.ndarray:
+    """L2 normalize with a gradient that is finite at x == 0.
+
+    ``x / norm(x)`` has a NaN gradient at exactly zero (d||x||/dx = x/||x||)
+    — and padded anyres tiles produce exactly-zero feature rows, which
+    poisoned phase-1 vision grads through 0 * NaN.  rsqrt(max(|x|^2, eps))
+    is flat at 0 instead.
+    """
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps))
+
+
 def pool_and_normalize(features: jnp.ndarray) -> jnp.ndarray:
     """Mean-pool vision tokens then L2-normalize: [B, T, D] -> [B, D].
 
     Reference: `phase1/...:243-248` (post_layernorm hook output).
     """
-    pooled = features.mean(axis=1)
-    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
-    return pooled / jnp.maximum(norm, 1e-12)
+    return _l2_normalize(features.mean(axis=1))
 
 
 def ntxent_loss(
@@ -212,12 +222,8 @@ def ntxent_loss(
     inputs, sim matrix / temperature, CE against the diagonal.  Identically
     zero at batch size 1 (SURVEY.md §2.5 #2) — preserved.
     """
-    s = student_features / jnp.maximum(
-        jnp.linalg.norm(student_features, axis=-1, keepdims=True), 1e-12
-    )
-    t = teacher_features / jnp.maximum(
-        jnp.linalg.norm(teacher_features, axis=-1, keepdims=True), 1e-12
-    )
+    s = _l2_normalize(student_features)
+    t = _l2_normalize(teacher_features)
     logits = (s @ t.T) / temperature
     n = logits.shape[0]
     log_probs = jax.nn.log_softmax(logits, axis=-1)
@@ -241,12 +247,8 @@ def masked_ntxent_loss(
 
     student/teacher_features: [N, D]; valid: [N] bool.
     """
-    s = student_features / jnp.maximum(
-        jnp.linalg.norm(student_features, axis=-1, keepdims=True), 1e-12
-    )
-    t = teacher_features / jnp.maximum(
-        jnp.linalg.norm(teacher_features, axis=-1, keepdims=True), 1e-12
-    )
+    s = _l2_normalize(student_features)
+    t = _l2_normalize(teacher_features)
     logits = (s @ t.T) / temperature
     neg_inf = jnp.finfo(logits.dtype).min
     logits = jnp.where(valid[None, :], logits, neg_inf)

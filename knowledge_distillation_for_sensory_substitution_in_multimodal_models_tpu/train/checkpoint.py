@@ -75,5 +75,25 @@ class CheckpointManager:
             return None, None
         return self._ckptr.restore(path, abstract_state), path
 
-    def restore(self, path: str, abstract_state: Any) -> Any:
+    def restore(self, path: str, abstract_state: Any, partial: bool = False) -> Any:
+        """Restore; ``partial=True`` loads a sub-tree (e.g. params only, the
+        eval path's student extraction — the reference's analog is
+        ``model.student_model`` pulled out of the Lightning checkpoint,
+        `evaluate_onevision.py:65-75`)."""
+        path = os.path.abspath(path)
+        if partial:
+            import jax
+
+            restore_args = jax.tree.map(
+                lambda s: ocp.RestoreArgs(restore_type=None), abstract_state
+            )
+            with ocp.PyTreeCheckpointer() as ckptr:
+                return ckptr.restore(
+                    path,
+                    args=ocp.args.PyTreeRestore(
+                        item=abstract_state,
+                        restore_args=restore_args,
+                        partial_restore=True,
+                    ),
+                )
         return self._ckptr.restore(path, abstract_state)

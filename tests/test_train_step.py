@@ -95,6 +95,11 @@ def test_train_step_runs_and_respects_phase(setup, mode, phase):
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
 
+    # every updated param must stay finite (catches NaN gradients, e.g.
+    # d||x||/dx at the exactly-zero padded-tile features)
+    for p, leaf in jax.tree_util.tree_leaves_with_path(new_state.params):
+        assert np.isfinite(np.asarray(leaf)).all(), jax.tree_util.keystr(p)
+
     mask = phase_trainable_mask(sparams, mode, phase)
     changed = jax.tree.map(
         lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))),
