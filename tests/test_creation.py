@@ -1,0 +1,223 @@
+"""Dataset-creation layer: prominent-object heuristic, generators,
+merge/balance, and the create_dataset CLI end-to-end on synthetic
+annotations."""
+
+import json
+import math
+import os
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.creation import (
+    find_most_prominent_object,
+    polygon_area,
+    process_text_only,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.creation.merge import (
+    balance_yes_no_question_type,
+    drop_unwanted_rows,
+    process_split,
+    split_70_20_10,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.creation.questions import (
+    count_row,
+    direction_row,
+    object_identification_row,
+    proximity_rows,
+    yes_no_rows,
+)
+
+
+def _ann(objects, polys):
+    return {
+        "objects": [{"name": n} for n in objects],
+        "frames": [{"polygon": polys}],
+    }
+
+
+def _poly(obj_idx, x, y, z=None):
+    p = {"object": obj_idx, "x": x, "y": y}
+    if z is not None:
+        p["XYZ"] = [[0, 0, zz] for zz in z]
+    return p
+
+
+def test_polygon_area_matches_shoelace():
+    sq = [(0, 0), (0, 2), (2, 2), (2, 0)]
+    assert polygon_area(sq) == 4.0
+    assert polygon_area(sq[:3]) == 0.0  # <4 points -> 0 (reference rule)
+
+
+def test_prominent_dominant_largest():
+    ann = _ann(
+        ["chair", "bed", "wall"],
+        [
+            _poly(0, [0, 0, 10, 10], [0, 1, 1, 0]),      # area 10
+            _poly(1, [0, 0, 100, 100], [0, 10, 10, 0]),  # area 1000 dominant
+            _poly(2, [0, 0, 500, 500], [0, 500, 500, 0]),  # wall: ignored
+        ],
+    )
+    assert find_most_prominent_object(ann) == "bed"
+
+
+def test_prominent_depth_tiebreak():
+    # top-two areas within the 1.3 dominance ratio -> combined (size rank +
+    # depth rank): chair (size 2 + depth 1 = 3) beats table (1 + 3 = 4)
+    # and sofa (3 + 2 = 5)
+    ann = _ann(
+        ["chair", "table", "sofa"],
+        [
+            _poly(0, [0, 0, 10, 10], [0, 10, 10, 0], z=[1.0, 1.0, 1.0]),   # area 100, near
+            _poly(1, [0, 0, 11, 11], [0, 10, 10, 0], z=[5.0, 5.0, 5.0]),   # area 110, far
+            _poly(2, [0, 0, 9.5, 9.5], [0, 10, 10, 0], z=[2.0, 2.0, 2.0]),  # area 95, mid
+        ],
+    )
+    assert find_most_prominent_object(ann) == "chair"
+
+
+def test_prominent_all_filtered():
+    ann = _ann(["wall", "floor"], [_poly(0, [0, 0, 1, 1], [0, 1, 1, 0])])
+    assert find_most_prominent_object(ann) is None
+
+
+def test_generators():
+    ann = _ann(
+        ["chair", "chair", "lamp"],
+        [
+            _poly(0, [0, 0, 50, 50], [0, 40, 40, 0]),
+            _poly(1, [60, 60, 70, 70], [0, 5, 5, 0]),
+            _poly(2, [100, 100, 104, 104], [0, 3, 3, 0]),
+        ],
+    )
+    oi = object_identification_row(ann, enable_spellcheck=False)
+    assert oi["Answers"] == "chair"
+    assert oi["Questions"] == "What is the most prominent object?"
+
+    cr = count_row(ann, enable_spellcheck=False)
+    assert cr["Answers"] == "two"
+    assert "chair" in cr["Questions"]
+
+    yn = yes_no_rows(ann, ["chair", "sofa"], random.Random(0),
+                     enable_spellcheck=False)
+    assert yn[0]["Answers"] == "yes" and "chair" in yn[0]["Questions"]
+    assert yn[1]["Answers"] == "no" and "sofa" in yn[1]["Questions"]
+
+    pr = proximity_rows(ann, enable_spellcheck=False)
+    assert pr[0]["Questions"] == "What is closest to the chair?"
+    # lamp centroid (102,1.5) vs second chair centroid (65,2.5): chair closer
+    assert pr[0]["Answers"] == "chair"
+    assert pr[1]["Questions"] == "What is farthest to the chair?"
+    assert pr[1]["Answers"] == "lamp"
+
+    dr = direction_row(ann, enable_spellcheck=False)
+    assert dr["Questions"].startswith("Where is chair relative to")
+    assert dr["Answers"] in (
+        "left", "right", "above", "under",
+        "left and above", "left and under", "right and above", "right and under",
+    )
+
+
+def test_process_text_only_offline():
+    # combined-words replacement runs before digit stripping, so the \b
+    # boundary blocks "nightstand3" (reference order, post_process.py:47-56)
+    assert process_text_only("nightstand", enable_spellcheck=False) == "night stand"
+    assert process_text_only("nightstand3", enable_spellcheck=False) == "nightstand"
+    assert process_text_only("3 chairs", enable_spellcheck=False) == "three chairs"
+    assert process_text_only("Lamp12", enable_spellcheck=False) == "lamp"
+
+
+def test_merge_and_balance():
+    rows = []
+    for i in range(8):
+        rows.append({"Questions": "What is the most prominent object?",
+                     "Answers": "hair" if i == 0 else "chair",
+                     "Image_Path": f"img{i}.png", "Depth_Path": f"d{i}.png",
+                     "Question_Type": "Object Identification"})
+        rows.append({"Questions": f"Is there any chair?",
+                     "Answers": "yes" if i % 2 == 0 else "no",
+                     "Image_Path": f"img{i}.png", "Depth_Path": f"d{i}.png",
+                     "Question_Type": "Yes/No"})
+    rows.append({"Questions": "What is wall40?", "Answers": "wall40",
+                 "Image_Path": "imgx.png", "Depth_Path": "dx.png",
+                 "Question_Type": "Object Identification"})
+    df = pd.DataFrame(rows)
+
+    out = process_split([df], "validation")
+    # wall\d+ rows dropped
+    assert not out["Answers"].str.contains("wall40").any()
+    # typo fix applied: hair -> chair
+    assert not (out["Answers"] == "hair").any()
+    # Question_Id inserted first
+    assert out.columns[0] == "Question_Id"
+    # yes/no halved & balanced
+    yn = out[out["Question_Type"] == "Yes/No"]
+    assert abs((yn["Answers"] == "yes").sum() - (yn["Answers"] == "no").sum()) <= 1
+
+    tr, va, te = split_70_20_10(df)
+    assert len(tr) + len(va) + len(te) == len(df)
+    assert len(tr) >= len(va) >= len(te)
+
+
+def test_create_dataset_cli(tmp_path):
+    """End-to-end: synthetic annotations -> per-type CSVs -> final split
+    CSVs readable by SUNRGBDVQADataset."""
+    root = tmp_path
+    rng = np.random.default_rng(0)
+    n = 8
+    sp = root / "splits_output_paths" / "validation"
+    sp.mkdir(parents=True)
+    (root / "SUNRGBD" / "img").mkdir(parents=True)
+    rgb_list, depth_list, ann_list = [], [], []
+    for i in range(n):
+        rgb = f"SUNRGBD/img/rgb_{i}.png"
+        depth = f"SUNRGBD/img/d_{i}.png"
+        ann = f"SUNRGBD/img/ann_{i}.json"
+        Image.fromarray(
+            rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+        ).save(root / rgb)
+        Image.fromarray(
+            rng.integers(0, 65535, (40, 60)).astype(np.uint16)
+        ).save(root / depth)
+        names = ["chair", "table", "lamp", "bed"]
+        ann_data = _ann(
+            names,
+            [
+                _poly(j, [10 * j, 10 * j, 10 * j + 8 + j, 10 * j + 8 + j],
+                      [0, 8, 8, 0])
+                for j in range(len(names))
+            ],
+        )
+        (root / ann).write_text(json.dumps(ann_data))
+        rgb_list.append(rgb)
+        depth_list.append(depth)
+        ann_list.append(ann)
+    (sp / "all_rgb.txt").write_text("\n".join(rgb_list))
+    (sp / "all_depth.txt").write_text("\n".join(depth_list))
+    (sp / "annotations.txt").write_text("\n".join(ann_list))
+
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.cli.create_dataset import (
+        main,
+    )
+
+    main(["--root_data_dir", str(root), "--splits", "validation",
+          "--no_spellcheck"])
+
+    final = root / "SUNRGBD" / "csv_data" / "val_dataset.csv"
+    assert final.exists()
+    df = pd.read_csv(final)
+    assert list(df.columns[:5]) == [
+        "Question_Id", "Questions", "Answers", "Image_Path", "Depth_Path"
+    ]
+    assert len(df) > 0
+
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.dataset import (
+        SUNRGBDVQADataset,
+    )
+
+    ds = SUNRGBDVQADataset(str(root), "val_dataset.csv")
+    q, a, rgb_np, depth3, idx = ds[0]
+    assert isinstance(q, str) and rgb_np.shape[2] == 3
