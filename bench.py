@@ -183,16 +183,24 @@ def main() -> None:
     state = TrainState.create(apply_fn=None, params=sparams, tx=tx)
     step = jax.jit(make_train_step(models, cfg), donate_argnums=(0,))
 
-    # warmup/compile
-    t0 = time.time()
-    state, metrics = step(state, tparams, batch)
-    jax.block_until_ready(metrics["loss"])
-    print(f"compile+first step: {time.time()-t0:.1f}s", file=sys.stderr)
+    # warmup/compile.  NOTE on sync: through the axon tunnel
+    # ``block_until_ready`` returns before device completion; only a host
+    # fetch truly synchronizes, so each step fetches the loss scalar (adds
+    # one tunnel RTT per step, bounded below by measuring >= several steps).
+    def fetch(m):
+        return float(jax.device_get(m["loss"]))
 
     t0 = time.time()
-    for _ in range(args.steps):
+    state, metrics = step(state, tparams, batch)
+    loss0 = fetch(metrics)
+    print(f"compile+first step: {time.time()-t0:.1f}s loss={loss0:.4f}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(args.steps):
         state, metrics = step(state, tparams, batch)
-    jax.block_until_ready(metrics["loss"])
+        fetch(metrics)
+        print(f"  step {i}: {time.time()-t0:.2f}s cumulative", file=sys.stderr)
     dt = time.time() - t0
 
     samples_per_sec = args.steps * args.batch / dt
