@@ -51,11 +51,18 @@ class OneVisionCollator:
         tokenizer: Tokenizer,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         eval_mode: bool = False,
+        mask_prompt_labels: bool = False,
     ):
+        """``mask_prompt_labels=True`` supervises only the assistant-answer
+        tokens (the correct-semantics variant; in the reference only the
+        Pixtral collate does this via ``find_subsequence``,
+        `CustomSUNRGBDPixtralDataModule.py:182-199,223-233` — the OneVision
+        path supervises the full sequence, SURVEY.md §2.5 #4)."""
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.buckets = tuple(buckets)
         self.eval_mode = eval_mode
+        self.mask_prompt_labels = mask_prompt_labels
 
     def __call__(self, samples: List[tuple]) -> Dict[str, np.ndarray]:
         cfg, tok = self.cfg, self.tokenizer
@@ -76,13 +83,26 @@ class OneVisionCollator:
         depth_pixels, _ = process_anyres_batch(list(depths), cfg)
 
         id_rows = []
+        answer_spans = []  # [start, end) of answer tokens per row
         for q, a, spec in zip(questions, answers, specs):
-            text = (
-                render_eval_prompt(q)
-                if self.eval_mode
-                else render_train_prompt(q, a)
-            )
-            id_rows.append(encode_with_image(tok, text, spec.n_tokens))
+            if self.eval_mode:
+                id_rows.append(
+                    encode_with_image(tok, render_eval_prompt(q), spec.n_tokens)
+                )
+                answer_spans.append((0, 0))
+                continue
+            full = render_train_prompt(q, a)
+            row = encode_with_image(tok, full, spec.n_tokens)
+            id_rows.append(row)
+            if self.mask_prompt_labels:
+                # answer span = the answer's token ids located by
+                # re-encoding the prefix (user turn + assistant header)
+                prefix_text = full[: full.rindex(str(a))]
+                prefix = encode_with_image(tok, prefix_text, spec.n_tokens)
+                n_answer = len(tok.encode(str(a)))
+                answer_spans.append((len(prefix), len(prefix) + n_answer))
+            else:
+                answer_spans.append((0, len(row)))
 
         max_len = max(len(r) for r in id_rows)
         bucket = pick_bucket(max_len, self.buckets)
@@ -94,6 +114,11 @@ class OneVisionCollator:
             mask[i, : len(row)] = 1
 
         labels = np.where(mask.astype(bool), ids, IGNORE_INDEX).astype(np.int32)
+        if self.mask_prompt_labels and not self.eval_mode:
+            for i, (s0, s1) in enumerate(answer_spans):
+                span_mask = np.zeros(bucket, dtype=bool)
+                span_mask[s0:s1] = True
+                labels[i] = np.where(span_mask, labels[i], IGNORE_INDEX)
 
         return {
             "student_input_ids": ids,

@@ -111,6 +111,24 @@ def test_tokenizer_roundtrip():
     assert etext.endswith("assistant\n")
 
 
+def test_mask_prompt_labels(sunrgbd_root):
+    """Answer-only supervision (the Pixtral-collate semantics): exactly the
+    answer's token ids stay unmasked."""
+    ds = SUNRGBDVQADataset(sunrgbd_root, "train_dataset.csv")
+    tok = HashTokenizer()
+    collator = OneVisionCollator(CFG, tok, buckets=(256,), mask_prompt_labels=True)
+    batch = collator([ds[0], ds[1]])
+    for i in range(2):
+        labels = batch["student_input_ids"][i], batch["labels"][i]
+        ids, lab = labels
+        kept = lab[lab != -100]
+        answer_ids = tok.encode(ds[i][1])
+        assert list(kept) == answer_ids
+        # and those positions carry the same ids in the input row
+        pos = np.nonzero(lab != -100)[0]
+        assert list(ids[pos]) == answer_ids
+
+
 def test_loader_to_train_step(sunrgbd_root):
     ds = SUNRGBDVQADataset(sunrgbd_root, "train_dataset.csv")
     tok = HashTokenizer(

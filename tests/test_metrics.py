@@ -1,0 +1,82 @@
+"""Evaluation metrics + results aggregation."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.eval.metrics import (
+    neural_similarity_metric,
+    per_category_metrics,
+    simple_accuracy_metric,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.eval.results import (
+    update_summary,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.utils.numwords import (
+    digits_to_words,
+    num2words,
+)
+
+
+def test_simple_accuracy_lemma_semantics():
+    # lemma-set equality: plural/singular match, word order irrelevant
+    assert simple_accuracy_metric(["chairs"], ["chair"]) == 1.0
+    assert simple_accuracy_metric(["the chair"], ["chair the"]) == 1.0
+    assert simple_accuracy_metric(["table"], ["chair"]) == 0.0
+    assert simple_accuracy_metric(["two"], ["two"]) == 1.0
+    assert simple_accuracy_metric([], []) == 0.0
+
+
+def test_neural_similarity_bounds():
+    s = neural_similarity_metric(["red chair"], ["blue chair"])
+    assert 0.0 < s < 1.0
+    assert neural_similarity_metric(["chair"], ["chair"]) == 1.0
+
+
+def test_per_category():
+    df = pd.DataFrame({
+        "Model_Answer": ["chair", "two", "no"],
+        "Answers": ["chair", "three", "no"],
+        "Question_Type": ["Object Identification", "Count", "Yes/No"],
+    })
+    out = per_category_metrics(df)
+    assert out["Object Identification"]["simple_accuracy"] == 1.0
+    assert out["Count"]["simple_accuracy"] == 0.0
+    assert out["Yes/No"]["simple_accuracy"] == 1.0
+
+
+def test_update_summary_incremental(tmp_path):
+    pred_dir = tmp_path / "predictions"
+    pred_dir.mkdir()
+    pd.DataFrame({
+        "Model_Answer": ["chair"], "Answers": ["chair"],
+        "Question_Type": ["Object Identification"],
+    }).to_csv(pred_dir / "results_a.csv", index=False)
+    s1 = update_summary(str(pred_dir))
+    assert len(s1) == 1 and s1.iloc[0]["Simple_Accuracy"] == 1.0
+    # second call: no new files -> unchanged
+    s2 = update_summary(str(pred_dir))
+    assert len(s2) == 1
+    # add a file -> appended, first row untouched
+    pd.DataFrame({
+        "Model_Answer": ["cat"], "Answers": ["dog"],
+        "Question_Type": ["Object Identification"],
+    }).to_csv(pred_dir / "results_b.csv", index=False)
+    s3 = update_summary(str(pred_dir))
+    assert len(s3) == 2
+    assert set(s3["File"]) == {"results_a.csv", "results_b.csv"}
+
+
+def test_num2words_parity_samples():
+    # spot-parity with the num2words package's 'en' output
+    cases = {0: "zero", 7: "seven", 15: "fifteen", 21: "twenty-one",
+             42: "forty-two", 100: "one hundred", 101: "one hundred and one",
+             115: "one hundred and fifteen", 999: "nine hundred and ninety-nine",
+             1000: "one thousand", 1042: "one thousand and forty-two",
+             2500: "two thousand five hundred"}
+    for n, want in cases.items():
+        assert num2words(n) == want, n
+    assert digits_to_words("I see 2 chairs and 1 table") == (
+        "I see two chairs and one table"
+    )
