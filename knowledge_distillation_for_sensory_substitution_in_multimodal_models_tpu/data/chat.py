@@ -43,6 +43,19 @@ def render_train_prompt(question: str, answer: str) -> str:
     )
 
 
+def render_pixtral_train_prompt(question: str, answer: str) -> str:
+    """Mistral/Pixtral chat format (`dataset/datamodule/pixtral/
+    CustomSUNRGBDPixtralDataModule.py:40-64`):
+    ``<s>[INST] {q}[IMG][/INST] {a}</s>``."""
+    return f"<s>[INST] {question}[IMG][/INST] {answer}</s>"
+
+
+def render_pixtral_eval_prompt(question: str, one_word_suffix: bool = True) -> str:
+    """Pixtral eval prompt (`evaluation/pixtral/evaluate_pixtral.py:190-198`)."""
+    q = question + " Answer in one word if possible." if one_word_suffix else question
+    return f"<s>[INST] {q}[IMG][/INST]"
+
+
 def render_eval_prompt(question: str, one_word_suffix: bool = True) -> str:
     """Generation prompt; eval appends the one-word instruction
     (`evaluate_onevision.py:163-177`)."""

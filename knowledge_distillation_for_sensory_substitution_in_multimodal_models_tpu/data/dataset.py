@@ -76,7 +76,10 @@ class SUNRGBDVQADataset:
         rgb = np.array(Image.open(rgb_path).convert("RGB"))
         depth_raw = np.array(Image.open(depth_path))
         if self.depth_encoding == "prewitt":
-            depth3 = depth_to_3ch_numpy(depth_raw)
+            # native C++ path when built (bit-exact; numpy fallback inside)
+            from .native import depth_to_3ch_native
+
+            depth3 = depth_to_3ch_native(depth_raw)
         elif self.depth_encoding == "prewitt_imagenet":
             depth3 = depth_to_3ch_numpy(depth_raw, imagenet_bake=True)
         else:
@@ -84,6 +87,40 @@ class SUNRGBDVQADataset:
         question = str(self.df.iloc[idx, 1])
         answer = str(self.df.iloc[idx, 2])
         return question, answer, rgb, depth3, idx
+
+
+class VQAv2Dataset:
+    """Minimal COCO VQAv2 loader (reference
+    `dataset/dataloader/VQAv2Dataset.py:7-67`): annotation + question JSONs
+    keyed by image_id, answers = most-common annotation answer."""
+
+    def __init__(self, questions_json: str, annotations_json: str, images_dir: str):
+        import json as _json
+
+        with open(questions_json) as f:
+            qs = _json.load(f)["questions"]
+        with open(annotations_json) as f:
+            anns = {a["question_id"]: a for a in _json.load(f)["annotations"]}
+        self.items = []
+        for q in qs:
+            a = anns.get(q["question_id"])
+            if a is None:
+                continue
+            self.items.append(
+                (q["question"], a["multiple_choice_answer"], q["image_id"])
+            )
+        self.images_dir = images_dir
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx: int):
+        question, answer, image_id = self.items[idx]
+        path = os.path.join(
+            self.images_dir, f"COCO_train2014_{image_id:012d}.jpg"
+        )
+        rgb = np.array(Image.open(path).convert("RGB"))
+        return question, answer, rgb, rgb, idx
 
 
 class DAQUARVQADataset(SUNRGBDVQADataset):

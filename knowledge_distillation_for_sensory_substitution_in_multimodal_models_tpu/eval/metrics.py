@@ -115,6 +115,25 @@ def metrics_backend() -> str:
     return "spacy" if _spacy_nlp() is not None else "native-fallback"
 
 
+def compute_bert_stats(predictions, references):
+    """BERTScore mean/std of F1 (reference `metric.py:59-70`).
+
+    Gated on the ``bert_score`` package (needs model downloads; unavailable
+    offline) — raises ImportError with a clear message otherwise.
+    """
+    try:
+        from bert_score import score as bert_score
+    except ImportError as e:
+        raise ImportError(
+            "bert_score is not installed (offline environment); install it "
+            "to compute BERTScore stats"
+        ) from e
+    _, _, f1 = bert_score(
+        list(map(str, predictions)), list(map(str, references)), lang="en"
+    )
+    return float(f1.mean()), float(f1.std())
+
+
 def per_category_metrics(
     df: pd.DataFrame,
     pred_col: str = "Model_Answer",

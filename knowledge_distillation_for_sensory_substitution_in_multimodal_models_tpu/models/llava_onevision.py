@@ -145,12 +145,24 @@ class LlavaOnevision(nn.Module):
         reference's hook side-channel, `phase1/...:243-248`), zeroed at
         padded tiles; combine with `tile_valid` for masked contrastive loss.
         """
+        from ..parallel.sharding import constrain
+
         inputs_embeds = self.language_model.embed(input_ids)
         vision_features = None
         if pixel_values is not None:
             projected, post_ln = self.encode_images(pixel_values)
             packed = self.pack_features(projected, pack_idx, pack_weight, pack_valid)
+            # anchor GSPMD: batch over (data, fsdp), feature dim replicated —
+            # prevents involuntary resharding between the gather-pack and
+            # the token merge under tensor parallelism
+            packed = constrain(packed, ("data", "fsdp"), None, None)
+            inputs_embeds = constrain(
+                inputs_embeds, ("data", "fsdp"), None, None
+            )
             inputs_embeds = self.merge_image_features(input_ids, inputs_embeds, packed)
+            inputs_embeds = constrain(
+                inputs_embeds, ("data", "fsdp"), None, None
+            )
             pooled = post_ln.mean(axis=2)  # [B, P, Dv]
             if tile_valid is not None:
                 pooled = pooled * tile_valid[..., None].astype(pooled.dtype)

@@ -114,6 +114,30 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return jax.tree.map(jax.device_put, params, shardings)
 
 
+def constrain(x, *spec):
+    """``with_sharding_constraint`` that no-ops outside a mesh context.
+
+    Model code calls this at activation boundaries (post-embed, post-merge,
+    per-layer outputs) to anchor GSPMD propagation; under single-device jit
+    or eager it is the identity, so the same model serves both paths.
+    """
+    try:
+        import jax
+
+        abstract_mesh = jax.sharding.get_abstract_mesh()
+        if abstract_mesh is None or not abstract_mesh.shape_tuple:
+            return x
+        if any(
+            ax is not None and ax not in abstract_mesh.axis_names
+            for s in spec
+            for ax in ((s,) if (s is None or isinstance(s, str)) else s)
+        ):
+            return x
+        return jax.lax.with_sharding_constraint(x, P(*spec))
+    except Exception:
+        return x
+
+
 def batch_sharding(mesh: Mesh, accum: bool = False) -> NamedSharding:
     """Batch-axis sharding over data x fsdp (standard ZeRO data layout).
 

@@ -69,6 +69,14 @@ class CheckpointManager:
             shutil.rmtree(prev, ignore_errors=True)
         return path
 
+    def save_preempt(self, step: int, state: Any) -> str:
+        """Unconditional snapshot outside the top-k policy (preemption)."""
+        path = os.path.join(self.ckpt_dir, f"preempt-step={step}.ckpt")
+        shutil.rmtree(path, ignore_errors=True)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+        return path
+
     def restore_best(self, abstract_state: Any) -> Tuple[Optional[Any], Optional[str]]:
         path = find_best_checkpoint(self.ckpt_dir)
         if path is None:

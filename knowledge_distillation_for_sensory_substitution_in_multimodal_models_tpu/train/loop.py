@@ -70,6 +70,21 @@ def run_training(
     tb = TBWriter(tb_logdir, run_name)
     ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
 
+    # Preemption handling (SURVEY.md §5 "failure detection": absent in the
+    # reference; TPU VMs get SIGTERM before eviction): snapshot the state
+    # at the next step boundary, then resume restores it.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):
+        preempted["flag"] = True
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:  # non-main thread
+        prev_handler = None
+
     step_i = int(state.step)
     for epoch in range(cfg.max_epochs):
         t_epoch = time.time()
@@ -97,6 +112,16 @@ def run_training(
                     flush=True,
                 )
             step_i += 1
+            if preempted["flag"]:
+                if ckpt is not None:
+                    path = ckpt.save_preempt(
+                        step_i,
+                        {"params": state.params, "opt_state": state.opt_state,
+                         "step": np.asarray(step_i)},
+                    )
+                    print(f"preempted: saved {path}", flush=True)
+                tb.close()
+                return state
 
         # ---- validation epoch ----
         val_losses = []

@@ -38,7 +38,7 @@ from flax.training.train_state import TrainState
 
 from ..configs import LlavaOnevisionConfig, TrainConfig
 from ..losses.chunked import chunked_kd_terms
-from ..losses.kd_losses import masked_ntxent_loss
+from ..losses.kd_losses import loca_loss, masked_ntxent_loss
 from ..models.llava_onevision import LlavaOnevision
 
 
@@ -128,6 +128,7 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
             t_vis = jax.lax.stop_gradient(t_vis)
             wt = teacher_head(teacher_params, models.teacher.cfg)
 
+        use_faithful_loca = need_loca and lc.loca_faithful_indexing
         terms = chunked_kd_terms(
             s_hidden,
             ws,
@@ -139,9 +140,25 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
             chunk_size=cfg.loss_chunk_size,
             need_ce=need_ce,
             need_kl=need_kl,
-            need_loca=need_loca,
+            need_loca=need_loca and not use_faithful_loca,
         )
         metrics: Dict[str, jnp.ndarray] = dict(terms)
+        if use_faithful_loca:
+            # Reference-faithful LoCa (full-tensor fancy-indexing writes,
+            # SURVEY.md §2.5 #3) requires global logits: materialize them.
+            # O(S*V) memory — for accuracy-parity experiments at small
+            # batch/seq, not the production path.
+            s_logits = jnp.einsum(
+                "bsd,dv->bsv", s_hidden, ws, preferred_element_type=jnp.float32
+            )
+            t_logits = jnp.einsum(
+                "bsd,dv->bsv", th, wt, preferred_element_type=jnp.float32
+            )
+            metrics["loca"] = loca_loss(
+                t_logits, s_logits, labels,
+                temperature=lc.temperature, alpha=lc.loca_alpha,
+                faithful_indexing=True,
+            )
 
         if need_contrastive:
             sf, sv = _flat_tile_features(s_vis, batch["tile_valid"])
@@ -152,7 +169,7 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
         if mode == "baseline":
             loss = terms["ce"]
         elif mode == "logit_based":
-            loss = terms["loca"] + terms["ce"]
+            loss = metrics["loca"] + terms["ce"]
         elif mode == "feature_based":
             loss = (
                 lc.soft_target_weight * terms["kl"]
@@ -165,9 +182,9 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                 + lc.contrastive_weight * metrics["contrastive"]
             )
         elif phase == 2:
-            loss = terms["loca"] + terms["ce"]
+            loss = metrics["loca"] + terms["ce"]
         else:  # phase 3
-            loca_total = terms["loca"] + terms["ce"]
+            loca_total = metrics["loca"] + terms["ce"]
             loss = lc.gamma * loca_total + (1.0 - lc.gamma) * terms["ce"]
 
         metrics["loss"] = loss

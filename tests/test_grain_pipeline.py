@@ -1,0 +1,58 @@
+"""Grain-backed loader: same batch contract as OneVisionLoader."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("grain")
+
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.configs import (
+    llava_onevision_tiny,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.collate import (
+    OneVisionCollator,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.grain_pipeline import (
+    make_grain_loader,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.tokenization import (
+    HashTokenizer,
+)
+
+CFG = llava_onevision_tiny()
+
+
+class SyntheticVQASource:
+    """Map-style source with the dataset's sample tuple contract."""
+
+    def __init__(self, n=8):
+        self.n = n
+        self.rng = np.random.default_rng(0)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        h, w = [(45, 67), (30, 80)][i % 2]
+        rgb = self.rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        depth3 = self.rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        return f"q{i}?", "chair", rgb, depth3, i
+
+
+def test_grain_loader_contract():
+    tok = HashTokenizer(
+        pad_token_id=CFG.pad_token_id, image_token_id=CFG.image_token_id
+    )
+    collator = OneVisionCollator(CFG, tok, buckets=(128, 256))
+    loader = make_grain_loader(
+        SyntheticVQASource(), collator, batch_size=2, accum=2,
+        shuffle=True, seed=0, read_threads=2,
+    )
+    batch = next(iter(loader))
+    assert batch["student_input_ids"].shape[:2] == (2, 2)  # [A, B]
+    # grain path pads to the largest bucket
+    assert batch["student_input_ids"].shape[2] == 256
+    assert batch["student_pixel_values"].shape[3:] == (
+        CFG.vision.image_size, CFG.vision.image_size, 3,
+    )
+    n_img = (batch["student_input_ids"][0, 0] == CFG.image_token_id).sum()
+    assert n_img == batch["pack_valid"][0, 0].sum()

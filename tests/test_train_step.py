@@ -120,6 +120,32 @@ def test_train_step_runs_and_respects_phase(setup, mode, phase):
     assert n_trainable_changed > 0, "no trainable param changed"
 
 
+def test_faithful_loca_path(setup):
+    """loca_faithful_indexing routes through the full-materialization path
+    and produces a (different, finite) loca term."""
+    import dataclasses as dc
+
+    student, teacher, sparams, tparams, batch = setup
+    micro = jax.tree.map(lambda x: x[0], batch)
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.train.step import (
+        make_loss_fn,
+    )
+
+    base = TrainConfig(kd_mode="logit_based",
+                       loss=kd_loss_config_for("logit_based"),
+                       loss_chunk_size=32)
+    faithful = dc.replace(
+        base, loss=dc.replace(base.loss, loca_faithful_indexing=True)
+    )
+    models = KDModels(student, teacher)
+    _, m_paper = make_loss_fn(models, base)(sparams, tparams, micro)
+    _, m_faith = make_loss_fn(models, faithful)(sparams, tparams, micro)
+    assert np.isfinite(float(m_paper["loca"]))
+    assert np.isfinite(float(m_faith["loca"]))
+    # the two calibration semantics genuinely differ
+    assert abs(float(m_paper["loca"]) - float(m_faith["loca"])) > 1e-8
+
+
 def test_eval_step(setup):
     student, teacher, sparams, tparams, batch = setup
     cfg = TrainConfig(kd_mode="double_trouble", phase=3, loss_chunk_size=32)
