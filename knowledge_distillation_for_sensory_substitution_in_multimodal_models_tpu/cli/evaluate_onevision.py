@@ -71,7 +71,11 @@ def main(argv=None):
     if not root:
         raise SystemExit("set ROOT_DATA_DIR or pass --root_data_dir / --synthetic_data")
 
-    scfg, _ = common.model_configs(args)
+    scfg, tcfg_full = common.model_configs(args)
+    # --model_id selects which architecture to evaluate: the reference's
+    # `results_*_7b.csv` runs evaluate the 7B model directly
+    if "7b" in args.model_id.lower() and not (args.synthetic_data or args.tiny_model):
+        scfg = tcfg_full
     attn_impl = common.resolve_attn_impl(args)
     dtype = jnp.float32 if args.cpu else jnp.bfloat16
     student = LlavaOnevision(scfg, dtype=dtype, attn_impl=attn_impl)

@@ -5,7 +5,9 @@ Replaces the methods of the reference Lightning modules
 with stateless jnp functions so they can be fused into one pjit train step.
 """
 
+from .chunked import chunked_kd_terms
 from .kd_losses import (
+    masked_ntxent_loss,
     masked_cross_entropy,
     truncate_teacher_logits,
     kd_kl_loss,
@@ -19,6 +21,8 @@ from .kd_losses import (
 )
 
 __all__ = [
+    "chunked_kd_terms",
+    "masked_ntxent_loss",
     "masked_cross_entropy",
     "truncate_teacher_logits",
     "kd_kl_loss",

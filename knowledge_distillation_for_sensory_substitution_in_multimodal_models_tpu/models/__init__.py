@@ -5,5 +5,6 @@ HF->Flax weight converter."""
 from .siglip import SigLIPVisionTower
 from .qwen2 import Qwen2LM
 from .llava_onevision import LlavaOnevision
+from .panesar import PanesarVQAModel
 
-__all__ = ["SigLIPVisionTower", "Qwen2LM", "LlavaOnevision"]
+__all__ = ["SigLIPVisionTower", "Qwen2LM", "LlavaOnevision", "PanesarVQAModel"]

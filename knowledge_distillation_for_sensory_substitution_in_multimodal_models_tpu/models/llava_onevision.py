@@ -57,14 +57,18 @@ class MultiModalProjector(nn.Module):
 class LlavaOnevision(nn.Module):
     cfg: LlavaOnevisionConfig
     dtype: jnp.dtype = jnp.float32
+    # remat both towers; remat_vision=False keeps vision activations (they
+    # are small: ~tiles x 729 x 1152 bf16 per layer) and saves the vision
+    # recompute pass in backward
     remat: bool = False
+    remat_vision: bool = True
     attn_impl: str = "xla"  # "pallas" = flash-attention kernels
 
     def setup(self):
         c = self.cfg
         self.vision_tower = SigLIPVisionTower(
-            c.vision, self.dtype, remat=self.remat, attn_impl=self.attn_impl,
-            name="vision_tower"
+            c.vision, self.dtype, remat=self.remat and self.remat_vision,
+            attn_impl=self.attn_impl, name="vision_tower"
         )
         self.multi_modal_projector = MultiModalProjector(c, self.dtype, name="multi_modal_projector")
         self.image_newline = self.param(

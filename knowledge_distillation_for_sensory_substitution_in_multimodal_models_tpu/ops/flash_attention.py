@@ -317,11 +317,15 @@ def _drop_arg(kernel, idx):
 
 def _flash_vjp_fwd(q, k, v, kv_mask, causal, scale):
     out, lse = _flash_fwd_impl(q, k, v, kv_mask, causal, scale)
-    return out, (q, k, v, kv_mask, out, lse)
+    # Residual slimming: the kernel emits lse broadcast to 128 lanes (tile
+    # constraint); save only one lane — 128x smaller residual when the
+    # surrounding layer is NOT rematerialized.
+    return out, (q, k, v, kv_mask, out, lse[..., :1])
 
 
 def _flash_vjp_bwd(causal, scale, residuals, g):
-    q, k, v, kv_mask, out, lse = residuals
+    q, k, v, kv_mask, out, lse_slim = residuals
+    lse = jnp.broadcast_to(lse_slim, (*lse_slim.shape[:-1], 128))
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     group = hq // hkv

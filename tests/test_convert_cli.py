@@ -1,0 +1,80 @@
+"""HF snapshot dir -> Orbax conversion path (tiny model, safetensors)."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.configs import (
+    llava_onevision_tiny,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.models import (
+    LlavaOnevision,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.models.convert import (
+    convert_hf_state_dict,
+    load_llava_onevision_params,
+)
+
+CFG = llava_onevision_tiny()
+
+
+def _tiny_hf_model():
+    from transformers import (
+        LlavaOnevisionConfig,
+        LlavaOnevisionForConditionalGeneration,
+        Qwen2Config,
+        SiglipVisionConfig,
+    )
+
+    torch.manual_seed(0)
+    v, t = CFG.vision, CFG.text
+    hf_cfg = LlavaOnevisionConfig(
+        vision_config=SiglipVisionConfig(
+            hidden_size=v.hidden_size, intermediate_size=v.intermediate_size,
+            num_hidden_layers=v.num_hidden_layers,
+            num_attention_heads=v.num_attention_heads,
+            image_size=v.image_size, patch_size=v.patch_size,
+            vision_use_head=False,
+        ),
+        text_config=Qwen2Config(
+            vocab_size=t.vocab_size, hidden_size=t.hidden_size,
+            intermediate_size=t.intermediate_size,
+            num_hidden_layers=t.num_hidden_layers,
+            num_attention_heads=t.num_attention_heads,
+            num_key_value_heads=t.num_key_value_heads,
+            tie_word_embeddings=t.tie_word_embeddings,
+            max_position_embeddings=2048,
+        ),
+        image_token_index=CFG.image_token_id,
+        tie_word_embeddings=t.tie_word_embeddings,
+    )
+    return LlavaOnevisionForConditionalGeneration(hf_cfg)
+
+
+def test_safetensors_dir_roundtrip(tmp_path):
+    model = _tiny_hf_model()
+    snap = tmp_path / "snapshot"
+    model.save_pretrained(snap, safe_serialization=True)
+    assert any(f.endswith(".safetensors") for f in os.listdir(snap))
+
+    params_dir = load_llava_onevision_params(str(snap), CFG)
+    params_sd = convert_hf_state_dict(dict(model.state_dict()), CFG)
+
+    # both paths produce identical trees
+    for (p1, l1), (p2, l2) in zip(
+        jax.tree_util.tree_leaves_with_path(params_dir),
+        jax.tree_util.tree_leaves_with_path(params_sd),
+    ):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+    # usable by the flax model
+    flax_model = LlavaOnevision(CFG)
+    ids = jnp.asarray(np.arange(6)[None] % 100)
+    logits, _, _ = flax_model.apply({"params": params_dir}, input_ids=ids)
+    assert logits.shape == (1, 6, CFG.text.vocab_size)
