@@ -253,6 +253,9 @@ class TrainConfig:
     remat_teacher: bool = True
     # Sequence-chunk size for the never-materialized KD loss scan
     loss_chunk_size: int = 256
+    # CE implementation: "chunked" (XLA scan) or "fused" (Pallas
+    # vocab-streaming kernel; TPU only, baseline/CE-only path)
+    ce_impl: str = "chunked"
 
     # Mesh axes (data, fsdp, tensor); product must equal device count
     mesh_shape: Tuple[int, int, int] = (1, 1, 1)

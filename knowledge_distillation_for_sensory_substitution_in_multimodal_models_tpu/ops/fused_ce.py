@@ -1,0 +1,267 @@
+"""Fused cross-entropy over a large vocabulary (Pallas TPU).
+
+The chunked loss (losses/chunked.py) reduces peak logits memory from
+O(S·V) to O(chunk·V), but each chunk still round-trips a [chunk, 152k] f32
+logits block (plus softmax temporaries) through HBM.  This kernel closes
+that gap: logits never leave VMEM.  Streaming over vocab blocks with an
+online logsumexp (the flash-attention trick applied to the classifier
+head), forward emits only per-row (lse, gold); the custom-VJP backward
+recomputes logits blockwise and accumulates d_hidden and d_W on the fly.
+
+  forward:  grid (n_blocks, v_blocks), v innermost
+            lse/gold accumulate in VMEM scratch across v blocks
+  backward: dh kernel  — grid (n, v), v innermost, acc over v
+            dW kernel  — grid (v, n), n innermost, acc over n
+
+API: :func:`fused_ce_loss` (hidden [N, D], W [D, V], labels [N]) -> mean CE
+over labels != -100, shift applied by the caller.  Equals
+``losses.kd_losses.masked_cross_entropy`` on pre-shifted inputs
+(tests/test_fused_ce.py, values and gradients).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
+IGNORE = -100
+
+
+def _col_ids(j, bn, bv):
+    return j * bv + jax.lax.broadcasted_iota(jnp.int32, (bn, bv), 1)
+
+
+def _fwd_kernel(h_ref, w_ref, lab_ref, lse_ref, gold_ref, m_sc, l_sc, g_sc,
+                *, v_real: int, bn: int, bv: int, n_v: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, NEG)
+        l_sc[:] = jnp.zeros_like(l_sc)
+        g_sc[:] = jnp.zeros_like(g_sc)
+
+    h = h_ref[:]
+    w = w_ref[:]
+    logits = jax.lax.dot_general(
+        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bn, bv]
+    cols = _col_ids(j, bn, bv)
+    logits = jnp.where(cols < v_real, logits, NEG)
+
+    m_prev = m_sc[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    l_sc[:] = jnp.broadcast_to(
+        l_sc[:, 0:1] * alpha + jnp.sum(jnp.exp(logits - m_new), axis=1,
+                                       keepdims=True),
+        l_sc.shape,
+    )
+    m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
+
+    labels = lab_ref[:, 0]  # [bn]
+    onehot = cols == labels[:, None]
+    g_sc[:] = g_sc[:] + jnp.broadcast_to(
+        jnp.sum(jnp.where(onehot, logits, 0.0), axis=1, keepdims=True),
+        g_sc.shape,
+    )
+
+    @pl.when(j == n_v - 1)
+    def _():
+        lse_ref[:] = m_sc[:, 0:1] + jnp.log(l_sc[:, 0:1])
+        gold_ref[:] = g_sc[:, 0:1]
+
+
+def _dh_kernel(h_ref, w_ref, lab_ref, lse_ref, rs1_ref, rs2_ref, dh_ref, acc,
+               *, v_real: int, bn: int, bv: int, n_v: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    h = h_ref[:]
+    w = w_ref[:]
+    logits = jax.lax.dot_general(
+        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    cols = _col_ids(j, bn, bv)
+    logits = jnp.where(cols < v_real, logits, NEG)
+    p = jnp.exp(logits - lse_ref[:, 0:1])
+    labels = lab_ref[:, 0]
+    onehot = (cols == labels[:, None]).astype(jnp.float32)
+    # d logits = g_lse * p + g_gold * onehot (general cotangents)
+    p = p * rs1_ref[:, 0:1] + onehot * rs2_ref[:, 0:1]
+    p = jnp.where(cols < v_real, p, 0.0)
+    acc[:] = acc[:] + jax.lax.dot_general(
+        p, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == n_v - 1)
+    def _():
+        dh_ref[:] = acc[:].astype(dh_ref.dtype)
+
+
+def _dw_kernel(h_ref, w_ref, lab_ref, lse_ref, rs1_ref, rs2_ref, dw_ref, acc,
+               *, v_real: int, bn: int, bv: int, n_n: int):
+    j, i = pl.program_id(0), pl.program_id(1)  # grid (v, n), n innermost
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    h = h_ref[:]
+    w = w_ref[:]
+    logits = jax.lax.dot_general(
+        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    cols = _col_ids(j, h.shape[0], logits.shape[1])
+    logits = jnp.where(cols < v_real, logits, NEG)
+    p = jnp.exp(logits - lse_ref[:, 0:1])
+    labels = lab_ref[:, 0]
+    onehot = (cols == labels[:, None]).astype(jnp.float32)
+    p = p * rs1_ref[:, 0:1] + onehot * rs2_ref[:, 0:1]
+    p = jnp.where(cols < v_real, p, 0.0)
+    acc[:] = acc[:] + jax.lax.dot_general(
+        h, p, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [d, bv]
+
+    @pl.when(i == n_n - 1)
+    def _():
+        dw_ref[:] = acc[:].astype(dw_ref.dtype)
+
+
+def _pad_to(x, mult, axis, value=0):
+    s = x.shape[axis]
+    pad = (-s) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+BN, BV = 256, 512
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _lse_gold(h, w, labels, v_real):
+    return _lse_gold_impl(h, w, labels, v_real)
+
+
+def _lse_gold_impl(h, w, labels, v_real) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    n, d = h.shape
+    v_pad = w.shape[1]
+    n_n, n_v = n // BN, v_pad // BV
+    lab2 = labels[:, None].astype(jnp.int32)
+    kernel = functools.partial(
+        _fwd_kernel, v_real=v_real, bn=BN, bv=BV, n_v=n_v
+    )
+    lse, gold = pl.pallas_call(
+        kernel,
+        grid=(n_n, n_v),
+        in_specs=[
+            pl.BlockSpec((BN, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, BV), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BN, 128), jnp.float32),
+            pltpu.VMEM((BN, 128), jnp.float32),
+            pltpu.VMEM((BN, 128), jnp.float32),
+        ],
+    )(h, w, lab2)
+    return lse[:, 0], gold[:, 0]
+
+
+def _lse_gold_fwd(h, w, labels, v_real):
+    out = _lse_gold_impl(h, w, labels, v_real)
+    return out, (h, w, labels, out[0])
+
+
+def _lse_gold_bwd(v_real, res, g):
+    h, w, labels, lse = res
+    g_lse, g_gold = g  # [n] cotangents
+    n, d = h.shape
+    v_pad = w.shape[1]
+    n_n, n_v = n // BN, v_pad // BV
+    lab2 = labels[:, None].astype(jnp.int32)
+    lse2 = lse[:, None]
+    # d lse / d logits = p ; d gold / d logits = onehot
+    rs1 = g_lse[:, None].astype(jnp.float32)
+    rs2 = g_gold[:, None].astype(jnp.float32)
+
+    dh = pl.pallas_call(
+        functools.partial(_dh_kernel, v_real=v_real, bn=BN, bv=BV, n_v=n_v),
+        grid=(n_n, n_v),
+        in_specs=[
+            pl.BlockSpec((BN, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, BV), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BN, d), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), h.dtype),
+        scratch_shapes=[pltpu.VMEM((BN, d), jnp.float32)],
+    )(h, w, lab2, lse2, rs1, rs2)
+
+    dw = pl.pallas_call(
+        functools.partial(_dw_kernel, v_real=v_real, bn=BN, bv=BV, n_n=n_n),
+        grid=(n_v, n_n),
+        in_specs=[
+            pl.BlockSpec((BN, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, BV), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, BV), lambda j, i: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d, v_pad), w.dtype),
+        scratch_shapes=[pltpu.VMEM((d, BV), jnp.float32)],
+    )(h, w, lab2, lse2, rs1, rs2)
+
+    return dh, dw, None
+
+
+_lse_gold.defvjp(_lse_gold_fwd, _lse_gold_bwd)
+
+
+def fused_ce_loss(hidden: jnp.ndarray, w: jnp.ndarray, labels: jnp.ndarray):
+    """Mean CE over ``labels != -100``; labels pre-shifted by the caller.
+
+    hidden [N, D] (any float dtype), w [D, V], labels [N] int.
+    """
+    n, d = hidden.shape
+    v_real = w.shape[1]
+    valid = labels != IGNORE
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+
+    h_p = _pad_to(hidden, BN, 0)
+    lab_p = _pad_to(safe, BN, 0)
+    w_p = _pad_to(w, BV, 1)
+    if d % 128 != 0:
+        h_p = _pad_to(h_p, 128, 1)
+        w_p = _pad_to(w_p, 128, 0)
+
+    lse, gold = _lse_gold(h_p, w_p, lab_p, v_real)
+    nll = (lse - gold)[:n] * valid
+    return nll.sum() / jnp.maximum(valid.sum(), 1)

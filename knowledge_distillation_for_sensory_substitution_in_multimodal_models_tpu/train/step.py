@@ -114,10 +114,29 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
     if need_teacher and models.teacher is None:
         raise ValueError(f"kd_mode {mode!r} requires a teacher model")
 
+    use_fused_ce = (
+        cfg.ce_impl == "fused" and mode == "baseline"
+    )
+
     def loss_fn(params, teacher_params, batch):
         labels = batch["labels"]
         s_hidden, s_vis = _forward_hidden(models.student, params, batch, "student")
         ws = student_head(params, models.student.cfg)
+
+        if use_fused_ce:
+            from ..losses.kd_losses import IGNORE_INDEX
+            from ..ops.fused_ce import fused_ce_loss
+
+            b, s_len, d_model = s_hidden.shape
+            ce_labels = jnp.concatenate(
+                [labels[:, 1:],
+                 jnp.full((b, 1), IGNORE_INDEX, labels.dtype)], axis=1
+            )
+            loss = fused_ce_loss(
+                s_hidden.reshape(b * s_len, d_model), ws,
+                ce_labels.reshape(b * s_len),
+            )
+            return loss, {"ce": loss, "loss": loss}
 
         th = t_vis = wt = None
         if need_teacher:
