@@ -114,29 +114,14 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
     if need_teacher and models.teacher is None:
         raise ValueError(f"kd_mode {mode!r} requires a teacher model")
 
-    use_fused_ce = (
-        cfg.ce_impl == "fused" and mode == "baseline"
-    )
+    # "fused" routes CE and KL through the Pallas vocab-streaming kernels
+    # (ops/fused_ce.py, ops/fused_kl.py); LoCa stays on the chunked path.
+    fused = cfg.ce_impl == "fused"
 
     def loss_fn(params, teacher_params, batch):
         labels = batch["labels"]
         s_hidden, s_vis = _forward_hidden(models.student, params, batch, "student")
         ws = student_head(params, models.student.cfg)
-
-        if use_fused_ce:
-            from ..losses.kd_losses import IGNORE_INDEX
-            from ..ops.fused_ce import fused_ce_loss
-
-            b, s_len, d_model = s_hidden.shape
-            ce_labels = jnp.concatenate(
-                [labels[:, 1:],
-                 jnp.full((b, 1), IGNORE_INDEX, labels.dtype)], axis=1
-            )
-            loss = fused_ce_loss(
-                s_hidden.reshape(b * s_len, d_model), ws,
-                ce_labels.reshape(b * s_len),
-            )
-            return loss, {"ce": loss, "loss": loss}
 
         th = t_vis = wt = None
         if need_teacher:
@@ -157,11 +142,33 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
             temperature=lc.temperature,
             loca_alpha=lc.loca_alpha,
             chunk_size=cfg.loss_chunk_size,
-            need_ce=need_ce,
-            need_kl=need_kl,
+            need_ce=need_ce and not fused,
+            need_kl=need_kl and not fused,
             need_loca=need_loca and not use_faithful_loca,
         )
         metrics: Dict[str, jnp.ndarray] = dict(terms)
+        if fused and (need_ce or need_kl):
+            from ..losses.kd_losses import IGNORE_INDEX
+            from ..ops.fused_ce import fused_ce_loss
+            from ..ops.fused_kl import fused_kl_loss
+
+            b, s_len, d_model = s_hidden.shape
+            flat_h = s_hidden.reshape(b * s_len, d_model)
+            if need_ce:
+                ce_labels = jnp.concatenate(
+                    [labels[:, 1:],
+                     jnp.full((b, 1), IGNORE_INDEX, labels.dtype)], axis=1
+                )
+                metrics["ce"] = fused_ce_loss(
+                    flat_h, ws, ce_labels.reshape(b * s_len)
+                )
+            if need_kl:
+                metrics["kl"] = fused_kl_loss(
+                    flat_h, ws,
+                    th.reshape(b * s_len, th.shape[-1]), wt,
+                    temperature=lc.temperature,
+                )
+        terms = metrics
         if use_faithful_loca:
             # Reference-faithful LoCa (full-tensor fancy-indexing writes,
             # SURVEY.md §2.5 #3) requires global logits: materialize them.
