@@ -119,6 +119,26 @@ def main(argv=None):
     )
 
     ckpt_dir = os.path.join(args.checkpoint_dir, f"kd_{args.kd_mode}_phase{args.phase}")
+
+    # Phase hand-off (`phase2/train_online_kd.py:88`): a fresh phase N>1 run
+    # initializes the student from phase N-1's best checkpoint.
+    if (
+        args.kd_mode == "double_trouble" and args.phase > 1
+        and not args.load_checkpoint
+    ):
+        prev_dir = os.path.join(
+            args.checkpoint_dir, f"kd_{args.kd_mode}_phase{args.phase - 1}"
+        )
+        prev = find_best_checkpoint(prev_dir)
+        if prev is not None:
+            mgr = CheckpointManager(prev_dir)
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+                {"params": sparams},
+            )
+            sparams = mgr.restore(prev, abstract, partial=True)["params"]
+            print(f"phase hand-off: initialized from {prev}")
+
     state_tpl = TrainState.create(apply_fn=None, params=sparams, tx=tx)
     if args.load_checkpoint:
         mgr = CheckpointManager(ckpt_dir)
