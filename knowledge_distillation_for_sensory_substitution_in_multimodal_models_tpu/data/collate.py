@@ -86,12 +86,18 @@ class OneVisionCollator:
         answer_spans = []  # [start, end) of answer tokens per row
         for q, a, spec in zip(questions, answers, specs):
             if self.eval_mode:
-                id_rows.append(
-                    encode_with_image(tok, render_eval_prompt(q), spec.n_tokens)
-                )
+                text = None
+                if hasattr(tok, "render_eval"):
+                    text = tok.render_eval(q)
+                id_rows.append(encode_with_image(
+                    tok, text or render_eval_prompt(q), spec.n_tokens
+                ))
                 answer_spans.append((0, 0))
                 continue
-            full = render_train_prompt(q, a)
+            full = None
+            if hasattr(tok, "render_train"):
+                full = tok.render_train(q, a)
+            full = full or render_train_prompt(q, a)
             row = encode_with_image(tok, full, spec.n_tokens)
             id_rows.append(row)
             if self.mask_prompt_labels:

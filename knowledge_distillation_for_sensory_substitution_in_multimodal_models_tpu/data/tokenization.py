@@ -107,6 +107,34 @@ class HFTokenizer:
     def decode(self, ids) -> str:
         return self.tok.decode(ids, skip_special_tokens=False)
 
+    # When the local snapshot bundles the model's own chat template, use it
+    # verbatim (exact whitespace parity with the reference's
+    # ``processor.apply_chat_template``); the collator falls back to
+    # ``data.chat`` renders otherwise.
+    def render_train(self, question: str, answer: str) -> Optional[str]:
+        if not getattr(self.tok, "chat_template", None):
+            return None
+        conversation = [
+            {"role": "user", "content": [
+                {"type": "text", "text": question}, {"type": "image"},
+            ]},
+            {"role": "assistant", "content": [{"type": "text", "text": answer}]},
+        ]
+        return self.tok.apply_chat_template(conversation, tokenize=False)
+
+    def render_eval(self, question: str, one_word_suffix: bool = True) -> Optional[str]:
+        if not getattr(self.tok, "chat_template", None):
+            return None
+        q = question + " Answer in one word if possible." if one_word_suffix else question
+        conversation = [
+            {"role": "user", "content": [
+                {"type": "text", "text": q}, {"type": "image"},
+            ]},
+        ]
+        return self.tok.apply_chat_template(
+            conversation, tokenize=False, add_generation_prompt=True
+        )
+
 
 def get_tokenizer(path: Optional[str] = None) -> Tokenizer:
     return HFTokenizer(path) if path else HashTokenizer()
