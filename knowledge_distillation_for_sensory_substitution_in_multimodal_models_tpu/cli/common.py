@@ -44,6 +44,8 @@ def add_reference_flags(p: argparse.ArgumentParser, accum_default: int = 64):
 
 def add_tpu_flags(p: argparse.ArgumentParser):
     p.add_argument("--cpu", action="store_true", help="force CPU platform")
+    p.add_argument("--distributed", action="store_true",
+                   help="jax.distributed.initialize() for multi-host pods")
     p.add_argument("--synthetic_data", action="store_true",
                    help="generate a tiny on-disk SUNRGBD tree + hash tokenizer "
                         "(no real dataset/weights needed)")
@@ -76,6 +78,11 @@ def setup_platform(args) -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "distributed", False):
+        # Multi-host TPU pods (SURVEY.md §5 "distributed comm backend"):
+        # coordinator/process env comes from the TPU runtime; the mesh then
+        # spans all processes' devices (DCN axis for multi-slice).
+        jax.distributed.initialize()
 
 
 def resolve_attn_impl(args) -> str:

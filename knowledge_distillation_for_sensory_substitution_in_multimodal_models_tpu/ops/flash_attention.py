@@ -69,12 +69,15 @@ def _fwd_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     def compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
-        k = k_ref[0, 0].astype(jnp.float32)  # [bk, d]
-        v = v_ref[0, 0].astype(jnp.float32)  # [bk, d]
+        # keep matmul operands in their storage dtype (bf16): the MXU
+        # accumulates in f32 via preferred_element_type; upcasting operands
+        # forces f32 MXU passes at a fraction of the bf16 rate
+        q = q_ref[0, 0]  # [bq, d]
+        k = k_ref[0, 0]  # [bk, d]
+        v = v_ref[0, 0]  # [bk, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bq, bk]
+        ) * scale  # [bq, bk] f32
         kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None  # [1, bk]
         s = _block_mask(
             s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
@@ -88,7 +91,8 @@ def _fwd_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -123,10 +127,10 @@ def _dq_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0][:, 0:1]
         delta = delta_ref[0, 0][:, 0:1]
         s = jax.lax.dot_general(
@@ -140,7 +144,7 @@ def _dq_kernel(
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(k.dtype)
         acc_ref[:] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -171,10 +175,10 @@ def _dkv_kernel(
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     def compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0][:, 0:1]
         delta = delta_ref[0, 0][:, 0:1]
         s = jax.lax.dot_general(
@@ -184,14 +188,15 @@ def _dkv_kernel(
         s = _block_mask(
             s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
         )
-        p = jnp.exp(s - lse)  # [bq, bk]
+        p = jnp.exp(s - lse)  # [bq, bk] f32
+        p_lo = p.astype(do.dtype)
         dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # p^T @ do -> [bk, d]
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
         dk_acc[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # ds^T @ q -> [bk, d]

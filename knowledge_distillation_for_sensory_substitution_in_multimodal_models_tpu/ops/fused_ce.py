@@ -98,7 +98,7 @@ def _dh_kernel(h_ref, w_ref, lab_ref, lse_ref, rs1_ref, rs2_ref, dh_ref, acc,
     onehot = (cols == labels[:, None]).astype(jnp.float32)
     # d logits = g_lse * p + g_gold * onehot (general cotangents)
     p = p * rs1_ref[:, 0:1] + onehot * rs2_ref[:, 0:1]
-    p = jnp.where(cols < v_real, p, 0.0)
+    p = jnp.where(cols < v_real, p, 0.0).astype(w.dtype)
     acc[:] = acc[:] + jax.lax.dot_general(
         p, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -127,7 +127,7 @@ def _dw_kernel(h_ref, w_ref, lab_ref, lse_ref, rs1_ref, rs2_ref, dw_ref, acc,
     labels = lab_ref[:, 0]
     onehot = (cols == labels[:, None]).astype(jnp.float32)
     p = p * rs1_ref[:, 0:1] + onehot * rs2_ref[:, 0:1]
-    p = jnp.where(cols < v_real, p, 0.0)
+    p = jnp.where(cols < v_real, p, 0.0).astype(h.dtype)
     acc[:] = acc[:] + jax.lax.dot_general(
         h, p, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [d, bv]

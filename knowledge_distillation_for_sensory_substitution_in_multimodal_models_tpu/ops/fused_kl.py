@@ -78,7 +78,7 @@ def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
     in_vocab = cols < v_real
     ps = jnp.where(in_vocab, jnp.exp(s - lses_ref[:, 0:1]), 0.0)
     pt = jnp.where(in_vocab, jnp.exp(t - lset_ref[:, 0:1]), 0.0)
-    ds = (ps - pt) * g_ref[:, 0:1] * inv_t
+    ds = ((ps - pt) * g_ref[:, 0:1] * inv_t).astype(ws_ref.dtype)
     acc[:] = acc[:] + jax.lax.dot_general(
         ds, ws_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -110,7 +110,7 @@ def _kl_dws_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
     in_vocab = cols < v_real
     ps = jnp.where(in_vocab, jnp.exp(s - lses_ref[:, 0:1]), 0.0)
     pt = jnp.where(in_vocab, jnp.exp(t - lset_ref[:, 0:1]), 0.0)
-    ds = (ps - pt) * g_ref[:, 0:1] * inv_t
+    ds = ((ps - pt) * g_ref[:, 0:1] * inv_t).astype(hs_ref.dtype)
     acc[:] = acc[:] + jax.lax.dot_general(
         hs_ref[:], ds, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
