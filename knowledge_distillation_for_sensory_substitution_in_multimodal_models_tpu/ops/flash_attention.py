@@ -305,6 +305,9 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale):
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
     )(*inputs)
     return out, lse
 
@@ -366,6 +369,9 @@ def _flash_vjp_bwd(causal, scale, residuals, g):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
     )(*inputs)
 
     # ---- dk, dv (per query-head; summed into kv heads afterwards) ----
@@ -398,6 +404,9 @@ def _flash_vjp_bwd(causal, scale, residuals, g):
             pltpu.VMEM((bk, d), jnp.float32),
             pltpu.VMEM((bk, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
     )(*inputs)
     if group > 1:
         dk = dk_h.reshape(b, hkv, group, skv, d).sum(axis=2)

@@ -184,6 +184,9 @@ def _lse_gold_impl(h, w, labels, v_real) -> Tuple[jnp.ndarray, jnp.ndarray]:
             pltpu.VMEM((BN, 128), jnp.float32),
             pltpu.VMEM((BN, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
     )(h, w, lab2)
     return lse[:, 0], gold[:, 0]
 
@@ -220,6 +223,9 @@ def _lse_gold_bwd(v_real, res, g):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, d), h.dtype),
         scratch_shapes=[pltpu.VMEM((BN, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
     )(h, w, lab2, lse2, rs1, rs2)
 
     dw = pl.pallas_call(
@@ -237,6 +243,9 @@ def _lse_gold_bwd(v_real, res, g):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, v_pad), w.dtype),
         scratch_shapes=[pltpu.VMEM((d, BV), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
     )(h, w, lab2, lse2, rs1, rs2)
 
     return dh, dw, None

@@ -160,6 +160,9 @@ def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t):
         out_specs=rspec,
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((BN, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
     )(hs, ws, ht, wt, lse_s[:, None], lse_t[:, None])
     return kl[:, 0], (lse_s, lse_t)
 
@@ -185,6 +188,9 @@ def _kl_rows_bwd(v_real, inv_t, res, g):
         out_specs=hspec,
         out_shape=jax.ShapeDtypeStruct((n, d), hs.dtype),
         scratch_shapes=[pltpu.VMEM((BN, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
     )(hs, ws, ht, wt, lse_s[:, None], lse_t[:, None], g2)
 
     hspec2, cspec2, rspec2 = _row_specs(d, q_major=False)
@@ -196,6 +202,9 @@ def _kl_rows_bwd(v_real, inv_t, res, g):
         out_specs=cspec2,
         out_shape=jax.ShapeDtypeStruct((d, v_pad), ws.dtype),
         scratch_shapes=[pltpu.VMEM((d, BV), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
     )(hs, ws, ht, wt, lse_s[:, None], lse_t[:, None], g2)
 
     # teacher side is stop-grad in KD; return zeros to satisfy the vjp

@@ -14,7 +14,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def run_variant(name, *, batch_size, chunk, remat_vision, steps):
+def run_variant(name, *, batch_size, chunk, remat_vision, steps, attn="pallas", ce="chunked"):
     import jax
     import jax.numpy as jnp
     from flax.training.train_state import TrainState
@@ -35,7 +35,7 @@ def run_variant(name, *, batch_size, chunk, remat_vision, steps):
     scfg = dataclasses.replace(llava_onevision_0_5b(), max_tiles=8)
     student = LlavaOnevision(
         scfg, dtype=jnp.bfloat16, remat=True, remat_vision=remat_vision,
-        attn_impl="pallas",
+        attn_impl=attn,
     )
     batch = jax.tree.map(jnp.asarray, synthetic_kd_batch(
         scfg, batch_size, 4864, orig_sizes=[(530, 730)] * batch_size,
@@ -59,7 +59,7 @@ def run_variant(name, *, batch_size, chunk, remat_vision, steps):
                 for i in range(len(leaves))]
 
     params = jax.tree.unflatten(treedef, init(jax.random.PRNGKey(0)))
-    cfg = TrainConfig(kd_mode="baseline", loss_chunk_size=chunk)
+    cfg = TrainConfig(kd_mode="baseline", loss_chunk_size=chunk, ce_impl=ce)
     state = TrainState.create(apply_fn=None, params=params,
                               tx=make_optimizer(params, 2e-5))
     step = jax.jit(make_train_step(KDModels(student, None), cfg),
@@ -93,6 +93,10 @@ def main():
         "novisremat": dict(batch_size=1, chunk=256, remat_vision=False),
         "b2":         dict(batch_size=2, chunk=256, remat_vision=True),
         "b2best":     dict(batch_size=2, chunk=512, remat_vision=False),
+        "xlachunked": dict(batch_size=1, chunk=256, remat_vision=True,
+                           attn="xla_chunked"),
+        "fusedloss":  dict(batch_size=1, chunk=256, remat_vision=True,
+                           ce="fused"),
     }
     for name in args.variants:
         run_variant(name, steps=args.steps, **table[name])

@@ -55,6 +55,45 @@ def test_flash_forward_matches_xla(b, sq, skv, hq, hkv, d, causal, masked):
     )
 
 
+@pytest.mark.parametrize("b,sq,skv,hq,hkv,d,causal,masked", CASES)
+def test_xla_chunked_matches_xla(b, sq, skv, hq, hkv, d, causal, masked):
+    q, k, v = _mk(b, sq, skv, hq, hkv, d)
+    mask = None
+    if masked:
+        m = np.ones((b, skv), dtype=bool)
+        m[:, skv - 37 :] = False
+        mask = jnp.asarray(m)
+    ref = dot_product_attention(
+        q, k, v,
+        mask=mask[:, None, None, :] if mask is not None else None,
+        causal=causal,
+    )
+    got = dot_product_attention(
+        q, k, v,
+        mask=mask[:, None, None, :] if mask is not None else None,
+        causal=causal, impl="xla_chunked",
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_xla_chunked_grads():
+    b, sq, skv, hq, hkv, d = 1, 200, 200, 4, 2, 64
+    q, k, v = _mk(b, sq, skv, hq, hkv, d, seed=3)
+
+    def loss(impl):
+        def f(q_, k_, v_):
+            o = dot_product_attention(q_, k_, v_, causal=True, impl=impl)
+            return (o * jnp.sin(o)).sum()
+        return f
+
+    g_ref = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+    g_chk = jax.grad(loss("xla_chunked"), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_chk):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4)
+
+
 def test_flash_grads_match_xla():
     b, sq, skv, hq, hkv, d = 1, 256, 256, 4, 2, 64
     q, k, v = _mk(b, sq, skv, hq, hkv, d, seed=1)
