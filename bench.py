@@ -156,15 +156,15 @@ def main() -> None:
         if tcfg is None:
             import dataclasses
 
-            # Single-chip KD bench: teacher scaled to ~1.8B so teacher fwd +
+            # Single-chip KD bench: teacher scaled to ~1.2B so teacher fwd +
             # student train fit one 16GB chip (the real 7B teacher is a
             # multi-chip tensor-parallel config; see dryrun_multichip).
             base = llava_onevision_0_5b()
             tcfg = dataclasses.replace(
                 base,
                 text=dataclasses.replace(
-                    base.text, hidden_size=2048, intermediate_size=5504,
-                    num_attention_heads=16, num_key_value_heads=16,
+                    base.text, hidden_size=1792, intermediate_size=4800,
+                    num_attention_heads=14, num_key_value_heads=2,
                     head_dim=128, tie_word_embeddings=False,
                 ),
             )

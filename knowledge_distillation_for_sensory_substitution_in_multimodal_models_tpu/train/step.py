@@ -115,7 +115,9 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
         raise ValueError(f"kd_mode {mode!r} requires a teacher model")
 
     # "fused" routes CE and KL through the Pallas vocab-streaming kernels
-    # (ops/fused_ce.py, ops/fused_kl.py); LoCa stays on the chunked path.
+    # (ops/fused_ce.py, ops/fused_kl.py).  LoCa stays on the chunked path —
+    # and when the chunked LoCa scan runs anyway, CE rides the same pass
+    # for free, so fusing CE there would only add a redundant head sweep.
     fused = cfg.ce_impl == "fused"
 
     def loss_fn(params, teacher_params, batch):
@@ -133,6 +135,9 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
             wt = teacher_head(teacher_params, models.teacher.cfg)
 
         use_faithful_loca = need_loca and lc.loca_faithful_indexing
+        chunked_loca = need_loca and not use_faithful_loca
+        fused_ce = fused and need_ce and not chunked_loca
+        fused_kl = fused and need_kl
         terms = chunked_kd_terms(
             s_hidden,
             ws,
@@ -142,19 +147,19 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
             temperature=lc.temperature,
             loca_alpha=lc.loca_alpha,
             chunk_size=cfg.loss_chunk_size,
-            need_ce=need_ce and not fused,
-            need_kl=need_kl and not fused,
-            need_loca=need_loca and not use_faithful_loca,
+            need_ce=need_ce and not fused_ce,
+            need_kl=need_kl and not fused_kl,
+            need_loca=chunked_loca,
         )
         metrics: Dict[str, jnp.ndarray] = dict(terms)
-        if fused and (need_ce or need_kl):
+        if fused_ce or fused_kl:
             from ..losses.kd_losses import IGNORE_INDEX
             from ..ops.fused_ce import fused_ce_loss
             from ..ops.fused_kl import fused_kl_loss
 
             b, s_len, d_model = s_hidden.shape
             flat_h = s_hidden.reshape(b * s_len, d_model)
-            if need_ce:
+            if fused_ce:
                 ce_labels = jnp.concatenate(
                     [labels[:, 1:],
                      jnp.full((b, 1), IGNORE_INDEX, labels.dtype)], axis=1
@@ -162,7 +167,7 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                 metrics["ce"] = fused_ce_loss(
                     flat_h, ws, ce_labels.reshape(b * s_len)
                 )
-            if need_kl:
+            if fused_kl:
                 metrics["kl"] = fused_kl_loss(
                     flat_h, ws,
                     th.reshape(b * s_len, th.shape[-1]), wt,
