@@ -163,8 +163,8 @@ def main() -> None:
             tcfg = dataclasses.replace(
                 base,
                 text=dataclasses.replace(
-                    base.text, hidden_size=1792, intermediate_size=4800,
-                    num_attention_heads=14, num_key_value_heads=2,
+                    base.text, hidden_size=1536, intermediate_size=4096,
+                    num_attention_heads=12, num_key_value_heads=2,
                     head_dim=128, tie_word_embeddings=False,
                 ),
             )
@@ -172,7 +172,10 @@ def main() -> None:
         tparams = materialize(shapes(teacher, 1, "teacher"), 1)
         cfg = TrainConfig(
             kd_mode="double_trouble", phase=3,
-            loss=kd_loss_config_for("double_trouble"), loss_chunk_size=chunk,
+            # chunk 128: the LoCa scan holds two [B,chunk,152k] f32 logits
+            # blocks (+ grads) — the KD memory hot spot on one chip
+            loss=kd_loss_config_for("double_trouble"),
+            loss_chunk_size=chunk if args.cpu else 128,
             ce_impl="chunked" if args.cpu else "fused",
         )
         models = KDModels(student, teacher)

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import tempfile
 
 from . import common
@@ -62,7 +61,7 @@ def main(argv=None):
     from ..eval.decode import GenerateConfig, Generator
     from ..eval.results import update_summary
     from ..models import LlavaOnevision
-    from ..train.checkpoint import CheckpointManager, find_best_checkpoint
+    from ..train.checkpoint import CheckpointManager
     from ..utils.numwords import digits_to_words
 
     root = args.root_data_dir or os.environ.get("ROOT_DATA_DIR")

@@ -48,7 +48,7 @@ def main(argv=None):
     import numpy as np
     from flax.training.train_state import TrainState
 
-    from ..configs import KDLossConfig, TrainConfig, kd_loss_config_for
+    from ..configs import TrainConfig, kd_loss_config_for
     from ..data.collate import OneVisionCollator
     from ..data.dataset import SUNRGBDVQADataset
     from ..data.loader import OneVisionLoader

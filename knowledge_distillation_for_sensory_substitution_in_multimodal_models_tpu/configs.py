@@ -250,7 +250,6 @@ class TrainConfig:
     # Numerics / TPU
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
-    remat_teacher: bool = True
     # Sequence-chunk size for the never-materialized KD loss scan
     loss_chunk_size: int = 256
     # CE implementation: "chunked" (XLA scan) or "fused" (Pallas

@@ -14,7 +14,7 @@ content and ``\n`` appended after an image segment; the generation prompt is
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 IM_START = "<|im_start|>"
 IM_END = "<|im_end|>"

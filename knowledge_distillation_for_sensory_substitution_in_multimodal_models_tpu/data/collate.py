@@ -19,7 +19,7 @@ Emitted keys (train-step layout; the reference's
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

@@ -12,7 +12,7 @@ the reference's per-split generators consume from
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -15,7 +15,7 @@ Parity:
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import pandas as pd
 

@@ -25,9 +25,9 @@ from __future__ import annotations
 import math
 import random
 from collections import Counter
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional
 
-from .geometry import centroid, polygon_area
+from .geometry import centroid
 from .postprocess import process_text_only
 from .prominent import (
     UNWANTED_NAMES,

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 from typing import Iterator, Optional
 
-import numpy as np
-
 
 def make_grain_loader(
     dataset,

@@ -11,10 +11,8 @@ then prefetched ahead of the device step.
 from __future__ import annotations
 
 import collections
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

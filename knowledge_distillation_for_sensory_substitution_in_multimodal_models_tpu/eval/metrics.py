@@ -25,7 +25,7 @@ the numbers match the reference's definitions exactly.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List
 
 import numpy as np
 import pandas as pd

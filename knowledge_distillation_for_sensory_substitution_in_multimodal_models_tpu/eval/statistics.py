@@ -17,7 +17,6 @@ import math
 import random
 from typing import Dict, Tuple
 
-import numpy as np
 import pandas as pd
 
 # Phi^-1((1+cl)/2) for the usual confidence levels (scipy-free).

@@ -9,7 +9,7 @@ Scalar names match the reference's Lightning logs (``train_loss``,
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
