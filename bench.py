@@ -170,10 +170,12 @@ def main() -> None:
             )
         teacher = LlavaOnevision(tcfg, dtype=dtype, remat=True, attn_impl=attn_impl)
         tparams = materialize(shapes(teacher, 1, "teacher"), 1)
+        # Single-chip KD bench runs double-trouble PHASE 1 (KL + vision
+        # contrastive): phases 2/3 add the LoCa scan whose per-chunk logits
+        # blocks push teacher+student+optimizer past 16 GB on one chip —
+        # those phases are the multi-chip (teacher-TP) configuration.
         cfg = TrainConfig(
-            kd_mode="double_trouble", phase=3,
-            # chunk 128: the LoCa scan holds two [B,chunk,152k] f32 logits
-            # blocks (+ grads) — the KD memory hot spot on one chip
+            kd_mode="double_trouble", phase=1,
             loss=kd_loss_config_for("double_trouble"),
             loss_chunk_size=chunk if args.cpu else 128,
             ce_impl="chunked" if args.cpu else "fused",
