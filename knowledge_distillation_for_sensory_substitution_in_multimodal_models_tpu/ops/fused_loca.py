@@ -1,0 +1,438 @@
+"""Fused LoCa-calibrated KL over the vocabulary (Pallas TPU).
+
+LoCa (paper-correct per-position calibration, see
+``losses.kd_losses.loca_calibrated_probs``) needs three per-row statistics
+of the teacher distribution — logsumexp, p_gt (at the label) and the
+top-2 probability — plus the student logsumexp.  All four stream over
+vocab blocks (top-2 via an online (m1, m2) carry), so the full pipeline
+keeps logits in VMEM like ops/fused_ce.py / ops/fused_kl.py:
+
+  pass 1: per-row stats (lse_t, lse_s, gold_t, m1, m2) in ONE sweep
+  pass 2: calibrated-KL elementwise sum, blockwise
+  bwd   : d/ds_j = (p_s_j * sum_v(loca_v) - loca_v_j) * g / T, streamed
+          into d_hidden (v-inner) and d_W (n-inner) kernels
+
+Calibration recap (T = temperature; probs at T):
+  sigma = 1/(1 - p_gt + p_2nd),  s = alpha * sigma
+  loca_j = s * p_t_j  for j != label;  loca_label = 1 - s * (1 - p_gt)
+(rows with label < 0 keep the raw teacher distribution, matching the
+chunked path).  Values/grads parity-tested against ``loca_loss`` in
+tests/test_fused_loca.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_ce import BN, BV, NEG, _col_ids, _pad_to
+
+
+def _logits_block(h_ref, w_ref, inv_t):
+    return jax.lax.dot_general(
+        h_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_t
+
+
+def _stats_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
+                  lses_ref, lset_ref, gold_ref, m1_ref, m2_ref,
+                  sc_ls, sc_lt, sc_g, sc_m1, sc_m2, sc_ms, sc_mt,
+                  *, v_real: int, inv_t: float, n_v: int):
+    """One sweep: student lse, teacher lse, teacher gold logit, teacher
+    online top-2 logits (m1 >= m2)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        sc_ls[:] = jnp.zeros_like(sc_ls)   # student sumexp
+        sc_lt[:] = jnp.zeros_like(sc_lt)   # teacher sumexp
+        sc_g[:] = jnp.zeros_like(sc_g)     # teacher gold logit
+        sc_m1[:] = jnp.full_like(sc_m1, NEG)
+        sc_m2[:] = jnp.full_like(sc_m2, NEG)
+        sc_ms[:] = jnp.full_like(sc_ms, NEG)  # student running max
+        sc_mt[:] = jnp.full_like(sc_mt, NEG)  # teacher running max
+
+    s = _logits_block(hs_ref, ws_ref, inv_t)
+    t = _logits_block(ht_ref, wt_ref, inv_t)
+    cols = _col_ids(j, s.shape[0], s.shape[1])
+    in_vocab = cols < v_real
+    s = jnp.where(in_vocab, s, NEG)
+    t = jnp.where(in_vocab, t, NEG)
+
+    # online logsumexp (student)
+    ms_prev = sc_ms[:, 0:1]
+    ms_new = jnp.maximum(ms_prev, jnp.max(s, axis=1, keepdims=True))
+    sc_ls[:] = jnp.broadcast_to(
+        sc_ls[:, 0:1] * jnp.exp(ms_prev - ms_new)
+        + jnp.sum(jnp.exp(s - ms_new), axis=1, keepdims=True),
+        sc_ls.shape,
+    )
+    sc_ms[:] = jnp.broadcast_to(ms_new, sc_ms.shape)
+
+    # online logsumexp (teacher)
+    mt_prev = sc_mt[:, 0:1]
+    mt_new = jnp.maximum(mt_prev, jnp.max(t, axis=1, keepdims=True))
+    sc_lt[:] = jnp.broadcast_to(
+        sc_lt[:, 0:1] * jnp.exp(mt_prev - mt_new)
+        + jnp.sum(jnp.exp(t - mt_new), axis=1, keepdims=True),
+        sc_lt.shape,
+    )
+    sc_mt[:] = jnp.broadcast_to(mt_new, sc_mt.shape)
+
+    # teacher gold logit
+    labels = lab_ref[:, 0]
+    onehot = cols == labels[:, None]
+    sc_g[:] = sc_g[:] + jnp.broadcast_to(
+        jnp.sum(jnp.where(onehot, t, 0.0), axis=1, keepdims=True), sc_g.shape
+    )
+
+    # online top-2 teacher logits: merge block top-2 with carried (m1, m2)
+    b1 = jnp.max(t, axis=1, keepdims=True)
+    t_wo_b1 = jnp.where(t == b1, NEG, t)  # mask ALL occurrences of max
+    b2 = jnp.max(t_wo_b1, axis=1, keepdims=True)
+    m1, m2 = sc_m1[:, 0:1], sc_m2[:, 0:1]
+    new_m1 = jnp.maximum(m1, b1)
+    # second max of the union {m1, m2, b1, b2}
+    new_m2 = jnp.maximum(jnp.minimum(m1, b1), jnp.maximum(m2, b2))
+    sc_m1[:] = jnp.broadcast_to(new_m1, sc_m1.shape)
+    sc_m2[:] = jnp.broadcast_to(new_m2, sc_m2.shape)
+
+    @pl.when(j == n_v - 1)
+    def _():
+        lses_ref[:] = sc_ms[:, 0:1] + jnp.log(sc_ls[:, 0:1])
+        lset_ref[:] = sc_mt[:, 0:1] + jnp.log(sc_lt[:, 0:1])
+        gold_ref[:] = sc_g[:, 0:1]
+        m1_ref[:] = sc_m1[:, 0:1]
+        m2_ref[:] = sc_m2[:, 0:1]
+
+
+def _loca_block(t, s_logits, cols, labels, lset, lses, scale_row, tval, valid):
+    """(loca_t block, log p_s block) given per-row stats."""
+    p_t = jnp.exp(t - lset)
+    onehot = cols == labels[:, None]
+    loca = scale_row * p_t
+    loca = jnp.where(onehot, tval, loca)
+    loca = jnp.where(valid, loca, p_t)  # ignore-label rows keep raw teacher
+    log_ps = s_logits - lses
+    return loca, log_ps
+
+
+def _kl_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
+                   lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
+                   out_ref, acc,
+                   *, v_real: int, inv_t: float, n_v: int, eps: float):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    s = _logits_block(hs_ref, ws_ref, inv_t)
+    t = _logits_block(ht_ref, wt_ref, inv_t)
+    cols = _col_ids(j, s.shape[0], s.shape[1])
+    in_vocab = cols < v_real
+    s = jnp.where(in_vocab, s, NEG)
+    t = jnp.where(in_vocab, t, NEG)
+    labels = lab_ref[:, 0]
+    loca, log_ps = _loca_block(
+        t, s, cols, labels, lset_ref[:, 0:1], lses_ref[:, 0:1],
+        sc_row_ref[:, 0:1], tval_ref[:, 0:1], vmask_ref[:, 0:1] != 0,
+    )
+    log_ps = jnp.maximum(log_ps, jnp.log(eps))  # clamp like the reference
+    el = jnp.where(
+        (loca > 0) & in_vocab,
+        loca * (jnp.log(jnp.where(loca > 0, loca, 1.0)) - log_ps),
+        0.0,
+    )
+    acc[:] = acc[:] + jnp.broadcast_to(
+        jnp.sum(el, axis=1, keepdims=True), acc.shape
+    )
+
+    @pl.when(j == n_v - 1)
+    def _():
+        out_ref[:] = acc[:, 0:1]
+
+
+def _dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
+                lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
+                g_ref, tsum_ref,
+                dhs_ref, acc,
+                *, v_real: int, inv_t: float, n_v: int, eps: float):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    s = _logits_block(hs_ref, ws_ref, inv_t)
+    t = _logits_block(ht_ref, wt_ref, inv_t)
+    cols = _col_ids(j, s.shape[0], s.shape[1])
+    in_vocab = cols < v_real
+    s = jnp.where(in_vocab, s, NEG)
+    t = jnp.where(in_vocab, t, NEG)
+    labels = lab_ref[:, 0]
+    loca, log_ps = _loca_block(
+        t, s, cols, labels, lset_ref[:, 0:1], lses_ref[:, 0:1],
+        sc_row_ref[:, 0:1], tval_ref[:, 0:1], vmask_ref[:, 0:1] != 0,
+    )
+    p_s = jnp.exp(log_ps)
+    # clamp region (p_s < eps): d log_ps / d s_logits = 0 there
+    live = (log_ps > jnp.log(eps)) & (loca > 0) & in_vocab
+    # d/ds_j sum_v loca_v*(log loca_v - log p_s_v)
+    #   = p_s_j * sum_v(live_v * loca_v) - live_j * loca_j
+    ds = (p_s * tsum_ref[:, 0:1] - jnp.where(live, loca, 0.0))
+    ds = jnp.where(in_vocab, ds, 0.0) * g_ref[:, 0:1] * inv_t
+    acc[:] = acc[:] + jax.lax.dot_general(
+        ds.astype(ws_ref.dtype), ws_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_v - 1)
+    def _():
+        dhs_ref[:] = acc[:].astype(dhs_ref.dtype)
+
+
+def _dws_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
+                lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
+                g_ref, tsum_ref,
+                dws_ref, acc,
+                *, v_real: int, inv_t: float, n_n: int, eps: float):
+    j, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    s = _logits_block(hs_ref, ws_ref, inv_t)
+    t = _logits_block(ht_ref, wt_ref, inv_t)
+    cols = _col_ids(j, s.shape[0], s.shape[1])
+    in_vocab = cols < v_real
+    s = jnp.where(in_vocab, s, NEG)
+    t = jnp.where(in_vocab, t, NEG)
+    labels = lab_ref[:, 0]
+    loca, log_ps = _loca_block(
+        t, s, cols, labels, lset_ref[:, 0:1], lses_ref[:, 0:1],
+        sc_row_ref[:, 0:1], tval_ref[:, 0:1], vmask_ref[:, 0:1] != 0,
+    )
+    p_s = jnp.exp(log_ps)
+    live = (log_ps > jnp.log(eps)) & (loca > 0) & in_vocab
+    ds = (p_s * tsum_ref[:, 0:1] - jnp.where(live, loca, 0.0))
+    ds = jnp.where(in_vocab, ds, 0.0) * g_ref[:, 0:1] * inv_t
+    acc[:] = acc[:] + jax.lax.dot_general(
+        hs_ref[:], ds.astype(hs_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == n_n - 1)
+    def _():
+        dws_ref[:] = acc[:].astype(dws_ref.dtype)
+
+
+def _tsum_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
+                 lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
+                 out_ref, acc,
+                 *, v_real: int, inv_t: float, n_v: int, eps: float):
+    """sum_v of live loca (needed by the backward closed form)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    s = _logits_block(hs_ref, ws_ref, inv_t)
+    t = _logits_block(ht_ref, wt_ref, inv_t)
+    cols = _col_ids(j, s.shape[0], s.shape[1])
+    in_vocab = cols < v_real
+    s = jnp.where(in_vocab, s, NEG)
+    t = jnp.where(in_vocab, t, NEG)
+    labels = lab_ref[:, 0]
+    loca, log_ps = _loca_block(
+        t, s, cols, labels, lset_ref[:, 0:1], lses_ref[:, 0:1],
+        sc_row_ref[:, 0:1], tval_ref[:, 0:1], vmask_ref[:, 0:1] != 0,
+    )
+    live = (log_ps > jnp.log(eps)) & (loca > 0) & in_vocab
+    acc[:] = acc[:] + jnp.broadcast_to(
+        jnp.sum(jnp.where(live, loca, 0.0), axis=1, keepdims=True), acc.shape
+    )
+
+    @pl.when(j == n_v - 1)
+    def _():
+        out_ref[:] = acc[:, 0:1]
+
+
+def _specs(d, q_major=True):
+    if q_major:
+        row = lambda i, j: (i, 0)  # noqa: E731
+        col = lambda i, j: (0, j)  # noqa: E731
+    else:
+        row = lambda j, i: (i, 0)  # noqa: E731
+        col = lambda j, i: (0, j)  # noqa: E731
+    return (
+        pl.BlockSpec((BN, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, BV), col, memory_space=pltpu.VMEM),
+        pl.BlockSpec((BN, 1), row, memory_space=pltpu.VMEM),
+    )
+
+
+_SEM = dict(dimension_semantics=("parallel", "arbitrary"))
+
+
+def _row_stats(hs, ws, ht, wt, labels, v_real, inv_t, alpha):
+    n, d = hs.shape
+    n_n, n_v = n // BN, ws.shape[1] // BV
+    hspec, cspec, rspec = _specs(d)
+    hspec_t, cspec_t, _ = _specs(ht.shape[1])
+    lab2 = labels[:, None].astype(jnp.int32)
+    outs = pl.pallas_call(
+        functools.partial(_stats_kernel, v_real=v_real, inv_t=inv_t, n_v=n_v),
+        grid=(n_n, n_v),
+        in_specs=[hspec, cspec, hspec_t, cspec_t, rspec],
+        out_specs=[rspec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 5,
+        scratch_shapes=[pltpu.VMEM((BN, 128), jnp.float32)] * 7,
+        compiler_params=pltpu.CompilerParams(**_SEM),
+    )(hs, ws, ht, wt, lab2)
+    lse_s, lse_t, gold_t, m1, m2 = (o[:, 0] for o in outs)
+
+    valid = labels >= 0
+    p_gt = jnp.exp(gold_t - lse_t)
+    p_2nd = jnp.exp(m2 - lse_t)
+    scale_row = alpha / (1.0 - p_gt + p_2nd)
+    # target value: 1 - s*(sum p - p_gt) with sum p = 1 after softmax
+    tval = 1.0 - scale_row * (1.0 - p_gt)
+    return lse_s, lse_t, scale_row, tval, valid, lab2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _loca_rows(hs, ws, ht, wt, labels, v_real, inv_t, alpha, eps):
+    return _loca_rows_impl(hs, ws, ht, wt, labels, v_real, inv_t, alpha, eps)[0]
+
+
+def _call_rows(kernel, hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
+               out_spec, out_shape, scratch, extra=(), q_major=True):
+    hspec, cspec, rspec = _specs(d, q_major)
+    hspec_t, cspec_t, _ = _specs(dt, q_major)
+    in_specs = [hspec, cspec, hspec_t, cspec_t, rspec] + [rspec] * (
+        len(rows) + len(extra)
+    )
+    grid = (n_n, n_v) if q_major else (n_v, n_n)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(**_SEM),
+    )(hs, ws, ht, wt, lab2, *rows, *extra)
+
+
+def _loca_rows_impl(hs, ws, ht, wt, labels, v_real, inv_t, alpha, eps):
+    n, d = hs.shape
+    dt = ht.shape[1]
+    n_n, n_v = n // BN, ws.shape[1] // BV
+    lse_s, lse_t, scale_row, tval, valid, lab2 = _row_stats(
+        hs, ws, ht, wt, labels, v_real, inv_t, alpha
+    )
+    rows = [lse_s[:, None], lse_t[:, None], scale_row[:, None],
+            tval[:, None], valid[:, None].astype(jnp.int32)]
+    _, _, rspec = _specs(d)
+    kl = _call_rows(
+        functools.partial(_kl_fwd_kernel, v_real=v_real, inv_t=inv_t,
+                          n_v=n_v, eps=eps),
+        hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
+        rspec, jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        [pltpu.VMEM((BN, 128), jnp.float32)],
+    )
+    return kl[:, 0], (rows, lab2)
+
+
+def _loca_rows_fwd(hs, ws, ht, wt, labels, v_real, inv_t, alpha, eps):
+    kl, (rows, lab2) = _loca_rows_impl(
+        hs, ws, ht, wt, labels, v_real, inv_t, alpha, eps
+    )
+    return kl, (hs, ws, ht, wt, rows, lab2)
+
+
+def _loca_rows_bwd(v_real, inv_t, alpha, eps, res, g):
+    hs, ws, ht, wt, rows, lab2 = res
+    n, d = hs.shape
+    dt = ht.shape[1]
+    v_pad = ws.shape[1]
+    n_n, n_v = n // BN, v_pad // BV
+    _, _, rspec = _specs(d)
+
+    tsum = _call_rows(
+        functools.partial(_tsum_kernel, v_real=v_real, inv_t=inv_t,
+                          n_v=n_v, eps=eps),
+        hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
+        rspec, jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        [pltpu.VMEM((BN, 128), jnp.float32)],
+    )
+    g2 = g[:, None].astype(jnp.float32)
+
+    hspec, _, _ = _specs(d)
+    dhs = _call_rows(
+        functools.partial(_dhs_kernel, v_real=v_real, inv_t=inv_t,
+                          n_v=n_v, eps=eps),
+        hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
+        hspec, jax.ShapeDtypeStruct((n, d), hs.dtype),
+        [pltpu.VMEM((BN, d), jnp.float32)],
+        extra=(g2, tsum),
+    )
+    _, cspec2, _ = _specs(d, q_major=False)
+    dws = _call_rows(
+        functools.partial(_dws_kernel, v_real=v_real, inv_t=inv_t,
+                          n_n=n_n, eps=eps),
+        hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
+        cspec2, jax.ShapeDtypeStruct((d, v_pad), ws.dtype),
+        [pltpu.VMEM((d, BV), jnp.float32)],
+        extra=(g2, tsum), q_major=False,
+    )
+    return dhs, dws, jnp.zeros_like(ht), jnp.zeros_like(wt), None
+
+
+_loca_rows.defvjp(_loca_rows_fwd, _loca_rows_bwd)
+
+
+def fused_loca_loss(
+    student_hidden: jnp.ndarray,
+    student_head: jnp.ndarray,
+    teacher_hidden: jnp.ndarray,
+    teacher_head: jnp.ndarray,
+    labels: jnp.ndarray,
+    temperature: float = 1.0,
+    alpha: float = 0.8,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Paper-correct LoCa KL, torch-'mean' reduction * T^2 (matches
+    ``losses.kd_losses.loca_loss(faithful_indexing=False)``).
+
+    student_hidden [N, Ds], heads [D, V]; teacher head truncated to the
+    student vocab inside.  Teacher inputs are stop-grad.
+    """
+    n = student_hidden.shape[0]
+    v_real = student_head.shape[1]
+    inv_t = 1.0 / temperature
+
+    hs = _pad_to(student_hidden, BN, 0)
+    ht = _pad_to(teacher_hidden, BN, 0)
+    ws = _pad_to(student_head, BV, 1)
+    wt = _pad_to(teacher_head[:, :v_real], BV, 1)
+    lab = _pad_to(jnp.where(labels >= 0, labels, -1).astype(jnp.int32), BN, 0,
+                  value=-1)
+    if hs.shape[1] % 128 != 0:
+        hs = _pad_to(hs, 128, 1)
+        ws = _pad_to(ws, 128, 0)
+    if ht.shape[1] % 128 != 0:
+        ht = _pad_to(ht, 128, 1)
+        wt = _pad_to(wt, 128, 0)
+
+    kl_rows = _loca_rows(hs, ws, ht, wt, lab, v_real, inv_t, alpha, eps)
+    return kl_rows[:n].sum() / (n * v_real) * (temperature ** 2)

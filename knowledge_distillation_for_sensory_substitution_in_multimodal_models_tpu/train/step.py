@@ -135,8 +135,8 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
             wt = teacher_head(teacher_params, models.teacher.cfg)
 
         use_faithful_loca = need_loca and lc.loca_faithful_indexing
-        chunked_loca = need_loca and not use_faithful_loca
-        fused_ce = fused and need_ce and not chunked_loca
+        fused_loca = fused and need_loca and not use_faithful_loca
+        fused_ce = fused and need_ce
         fused_kl = fused and need_kl
         terms = chunked_kd_terms(
             s_hidden,
@@ -149,13 +149,14 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
             chunk_size=cfg.loss_chunk_size,
             need_ce=need_ce and not fused_ce,
             need_kl=need_kl and not fused_kl,
-            need_loca=chunked_loca,
+            need_loca=need_loca and not use_faithful_loca and not fused_loca,
         )
         metrics: Dict[str, jnp.ndarray] = dict(terms)
-        if fused_ce or fused_kl:
+        if fused_ce or fused_kl or fused_loca:
             from ..losses.kd_losses import IGNORE_INDEX
             from ..ops.fused_ce import fused_ce_loss
             from ..ops.fused_kl import fused_kl_loss
+            from ..ops.fused_loca import fused_loca_loss
 
             b, s_len, d_model = s_hidden.shape
             flat_h = s_hidden.reshape(b * s_len, d_model)
@@ -172,6 +173,13 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                     flat_h, ws,
                     th.reshape(b * s_len, th.shape[-1]), wt,
                     temperature=lc.temperature,
+                )
+            if fused_loca:
+                metrics["loca"] = fused_loca_loss(
+                    flat_h, ws,
+                    th.reshape(b * s_len, th.shape[-1]), wt,
+                    labels.reshape(b * s_len),
+                    temperature=lc.temperature, alpha=lc.loca_alpha,
                 )
         terms = metrics
         if use_faithful_loca:
