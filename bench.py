@@ -170,10 +170,11 @@ def main() -> None:
             )
         teacher = LlavaOnevision(tcfg, dtype=dtype, remat=True, attn_impl=attn_impl)
         tparams = materialize(shapes(teacher, 1, "teacher"), 1)
-        # Single-chip KD bench runs double-trouble PHASE 1 (KL + vision
-        # contrastive): phases 2/3 add the LoCa scan whose per-chunk logits
-        # blocks push teacher+student+optimizer past 16 GB on one chip —
-        # those phases are the multi-chip (teacher-TP) configuration.
+        # Single-chip KD bench runs double-trouble PHASE 1.  Phases 2/3 were
+        # retried with the fully-fused streaming LoCa/CE path and still
+        # exceed 16 GB by ~2.4 GB (teacher fwd + student train + optimizer
+        # at S=4864 is structurally ~18 GB); they are the multi-chip
+        # teacher-TP configuration (see dryrun_multichip).
         cfg = TrainConfig(
             kd_mode="double_trouble", phase=1,
             loss=kd_loss_config_for("double_trouble"),
