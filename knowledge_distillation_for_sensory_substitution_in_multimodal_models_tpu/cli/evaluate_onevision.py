@@ -116,6 +116,18 @@ def main(argv=None):
         ),
     )
 
+    # Multi-chip eval: shard the model over the mesh (TP for the 7B);
+    # decoding was verified token-exact vs single-device
+    # (tests/test_sharding.py::test_sharded_generation_matches_single_device)
+    mesh = common.build_mesh(args)
+    mesh_ctx = None
+    if mesh.devices.size > 1:
+        from ..parallel import shard_params
+
+        mesh_ctx = jax.set_mesh(mesh)
+        mesh_ctx.__enter__()
+        params = shard_params(params, mesh)
+
     rows = []
     bs = args.eval_batch_size
     df = ds.df
@@ -162,6 +174,9 @@ def main(argv=None):
     out_path = os.path.join(args.predictions_dir, fname)
     pd.DataFrame(rows).to_csv(out_path, index=False)
     print("Results saved to:", out_path)
+
+    if mesh_ctx is not None:
+        mesh_ctx.__exit__(None, None, None)
 
     summary = update_summary(args.predictions_dir)
     tail = summary.tail(1).to_dict("records")

@@ -61,6 +61,37 @@ def test_mesh_and_param_specs():
     assert emb.sharding.spec == P("tensor", "fsdp")
 
 
+def test_sharded_generation_matches_single_device():
+    """Greedy decode over a TP/fsdp-sharded model must be token-exact vs
+    single-device (the multi-chip eval path for the 7B teacher)."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.eval.decode import (
+        GenerateConfig,
+        Generator,
+    )
+
+    cfg = llava_onevision_tiny()
+    model = LlavaOnevision(cfg)
+    batch = synthetic_kd_batch(cfg, 2, 96, seed=11)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if not k.startswith("teacher_")}
+    params = model.init(
+        jax.random.PRNGKey(0),
+        input_ids=jb["student_input_ids"],
+        attention_mask=jb["student_attention_mask"],
+        pixel_values=jb["student_pixel_values"],
+        pack_idx=jb["pack_idx"], pack_weight=jb["pack_weight"],
+        pack_valid=jb["pack_valid"], tile_valid=jb["tile_valid"],
+    )["params"]
+    gcfg = GenerateConfig(max_new_tokens=6, repetition_penalty=1.0,
+                          no_repeat_ngram_size=0, eos_token_id=-1)
+    ref = np.asarray(Generator(model, cfg, gcfg).generate(params, jb)["tokens"])
+    mesh = make_mesh(MeshConfig(1, 2, 4))
+    with jax.set_mesh(mesh):
+        sp = shard_params(params, mesh)
+        got = np.asarray(Generator(model, cfg, gcfg).generate(sp, jb)["tokens"])
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_sharded_kd_train_step_matches_single_device():
     """The pjit KD step on a (1,2,4) mesh must agree numerically with the
     unsharded step (same program, XLA inserts the collectives)."""
