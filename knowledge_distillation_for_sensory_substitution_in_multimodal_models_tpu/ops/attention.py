@@ -107,6 +107,10 @@ def dot_product_attention(
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, mask=mask, causal=causal, scale=scale)
+    if impl == "pallas_spmd":
+        from .flash_attention import flash_attention_spmd
+
+        return flash_attention_spmd(q, k, v, mask=mask, causal=causal, scale=scale)
     if impl == "xla_chunked":
         kv_mask = None
         if mask is not None:

@@ -486,3 +486,96 @@ def flash_attention(
     out = _flash(qt, kt, vt, kv_mask, causal, scale)
     out = out[:, :, :sq, :d]
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+
+
+def _abstract_mesh():
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        if m is not None and m.shape_tuple:
+            return m
+    except Exception:
+        pass
+    return None
+
+
+def flash_attention_spmd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    local_impl: str = "pallas",
+) -> jnp.ndarray:
+    """Multi-chip flash attention: shard_map over the active mesh.
+
+    Pallas custom calls cannot be partitioned by GSPMD, so under a mesh the
+    kernel is wrapped in ``shard_map``: the batch axis shards over
+    (data, fsdp) and heads over ``tensor`` when the head counts divide
+    (query AND kv heads — the local GQA group must stay integral).
+    Falls back to the XLA attention when no mesh is active or the shapes
+    don't divide (e.g. the 0.5B student's 14 q / 2 kv heads at tensor=8).
+
+    ``local_impl`` selects the per-shard attention: "pallas" (the flash
+    kernel; the production multi-chip path, requires real TPUs —
+    interpret-mode Pallas inside shard_map hangs on the CPU backend) or
+    "xla"/"xla_chunked" (used by the CPU-mesh tests to validate the
+    sharding/spec plumbing, which is identical across impls).
+    """
+    mesh = _abstract_mesh()
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    if mesh is None:
+        return flash_attention(q, k, v, mask=mask, causal=causal, scale=scale)
+
+    axis_sizes = dict(zip(mesh.axis_names, mesh.shape_tuple and
+                          [mesh.shape[a] for a in mesh.axis_names]))
+    dp = axis_sizes.get("data", 1) * axis_sizes.get("fsdp", 1)
+    tp = axis_sizes.get("tensor", 1)
+    heads_ok = hq % tp == 0 and hkv % tp == 0 and (hq // tp) % (hkv // tp) == 0
+    batch_ok = b % dp == 0
+    if not (heads_ok and batch_ok):
+        from .attention import dot_product_attention
+
+        return dot_product_attention(
+            q, k, v, mask=mask, causal=causal, scale=scale, impl="xla"
+        )
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    bspec = ("data", "fsdp")
+    q_spec = P(bspec, None, "tensor", None)
+    m_spec = P(bspec, None) if mask is not None else None
+
+    def local(q_, k_, v_, m_):
+        if local_impl == "pallas":
+            return flash_attention(
+                q_, k_, v_, mask=m_, causal=causal, scale=scale
+            )
+        from .attention import dot_product_attention
+
+        mm = m_[:, None, None, :] if m_ is not None else None
+        return dot_product_attention(
+            q_, k_, v_, mask=mm, causal=causal, scale=scale, impl=local_impl
+        )
+
+    kv_mask = None
+    if mask is not None:
+        if mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1:
+            kv_mask = jnp.broadcast_to(mask[:, 0, 0, :], (b, k.shape[1]))
+        elif mask.ndim == 2:
+            kv_mask = mask
+        else:
+            raise ValueError("pallas_spmd supports kv-padding masks only")
+
+    in_specs = (q_spec, q_spec, q_spec, m_spec)
+    fn = shard_map(
+        local,
+        mesh=jax.sharding.get_abstract_mesh(),
+        in_specs=in_specs,
+        out_specs=q_spec,
+        check_rep=False,
+    )
+    return fn(q, k, v, kv_mask)

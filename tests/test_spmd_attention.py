@@ -1,0 +1,65 @@
+"""shard_map attention wrapper: sharding/spec plumbing on the 8-device
+CPU mesh (the inner kernel is validated separately in
+tests/test_flash_attention.py; interpret-mode Pallas inside shard_map
+hangs on the CPU backend, so the plumbing test uses the XLA inner impl —
+identical specs/paths)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.attention import (
+    dot_product_attention,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.flash_attention import (
+    flash_attention_spmd,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.parallel import (
+    MeshConfig,
+    make_mesh,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def _data(B=4, S=128, HQ=4, HKV=2, D=64):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, S, HQ, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, HKV, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, HKV, D)).astype(np.float32))
+    m = np.ones((B, S), bool)
+    m[:, -17:] = False
+    return q, k, v, jnp.asarray(m)
+
+
+def test_spmd_head_and_batch_sharding():
+    q, k, v, mask = _data()
+    ref = dot_product_attention(q, k, v, mask=mask[:, None, None, :], causal=True)
+    mesh = make_mesh(MeshConfig(2, 2, 2))  # heads/kv/batch all divide
+    with jax.set_mesh(mesh):
+        got = jax.jit(
+            lambda a, b, c, mm: flash_attention_spmd(
+                a, b, c, mask=mm[:, None, None, :], causal=True,
+                local_impl="xla",
+            )
+        )(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_spmd_nondivisible_falls_back():
+    q, k, v, mask = _data()
+    ref = dot_product_attention(q, k, v, mask=mask[:, None, None, :], causal=True)
+    mesh = make_mesh(MeshConfig(1, 2, 4))  # kv=2 % tensor=4 -> fallback
+    with jax.set_mesh(mesh):
+        got = jax.jit(
+            lambda a, b, c, mm: flash_attention_spmd(
+                a, b, c, mask=mm[:, None, None, :], causal=True,
+                local_impl="xla",
+            )
+        )(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
