@@ -66,6 +66,12 @@ def add_tpu_flags(p: argparse.ArgumentParser):
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    # 1D-depth variant (reference `...1DDepth.py`: grayscale x3 encoding,
+    # `*_dataset3.csv` split files)
+    p.add_argument("--depth_encoding", type=str, default="prewitt",
+                   choices=["prewitt", "gray3", "prewitt_imagenet"])
+    p.add_argument("--train_csv", type=str, default="train_dataset.csv")
+    p.add_argument("--val_csv", type=str, default="val_dataset.csv")
 
 
 def setup_platform(args) -> None:

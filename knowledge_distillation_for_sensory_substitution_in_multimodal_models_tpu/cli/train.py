@@ -78,8 +78,10 @@ def main(argv=None):
                 batch.pop(k)
             return batch
 
-    train_ds = SUNRGBDVQADataset(root, "train_dataset.csv", args.subset_percentage)
-    val_ds = SUNRGBDVQADataset(root, "val_dataset.csv", args.subset_percentage)
+    train_ds = SUNRGBDVQADataset(root, args.train_csv, args.subset_percentage,
+                                 depth_encoding=args.depth_encoding)
+    val_ds = SUNRGBDVQADataset(root, args.val_csv, args.subset_percentage,
+                               depth_encoding=args.depth_encoding)
     train_loader = OneVisionLoader(
         train_ds, StreamCollator(scfg, tok, **collator_kw),
         batch_size=args.batch_size, accum=args.accumulate_grad_batches,
