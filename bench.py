@@ -52,7 +52,7 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--mode", choices=["baseline_depth", "kd"],
                     default="baseline_depth")
-    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 

@@ -14,7 +14,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def run_variant(name, *, batch_size, chunk, remat_vision, steps, attn="pallas", ce="chunked"):
+def run_variant(name, *, batch_size, chunk, remat_vision, steps, attn="pallas", ce="chunked", remat=True):
     import jax
     import jax.numpy as jnp
     from flax.training.train_state import TrainState
@@ -34,7 +34,7 @@ def run_variant(name, *, batch_size, chunk, remat_vision, steps, attn="pallas", 
 
     scfg = dataclasses.replace(llava_onevision_0_5b(), max_tiles=8)
     student = LlavaOnevision(
-        scfg, dtype=jnp.bfloat16, remat=True, remat_vision=remat_vision,
+        scfg, dtype=jnp.bfloat16, remat=remat, remat_vision=remat_vision,
         attn_impl=attn,
     )
     batch = jax.tree.map(jnp.asarray, synthetic_kd_batch(
@@ -97,6 +97,8 @@ def main():
                            attn="xla_chunked"),
         "fusedloss":  dict(batch_size=1, chunk=256, remat_vision=True,
                            ce="fused"),
+        "noremat":    dict(batch_size=1, chunk=256, remat_vision=True,
+                           ce="fused", remat=False),
     }
     for name in args.variants:
         run_variant(name, steps=args.steps, **table[name])
