@@ -240,13 +240,22 @@ def _specs(b, hq, group, bq, bk, d, kv_mask, q_major: bool):
     return q_spec, k_spec, m_spec
 
 
-def _pick_block(s: int, target: int = 512) -> int:
+import os
+
+# 1024 measured 6% faster at the step level than 512 (fewer grid
+# programs, larger MXU tiles); override via KDSS_FLASH_BLOCK.
+_BLOCK_TARGET = int(os.environ.get("KDSS_FLASH_BLOCK", "1024"))
+
+
+def _pick_block(s: int, target: int = None) -> int:
     """Largest block <= target minimizing padding waste (e.g. 729 -> 384,
     padded seq 768, instead of 512 -> 1024)."""
+    if target is None:
+        target = _BLOCK_TARGET
     if s <= 128:
         return 128
     best, best_padded = 128, ((s + 127) // 128) * 128
-    for b in (512, 384, 256, 128):
+    for b in (1024, 768, 512, 384, 256, 128):
         if b > target:
             continue
         padded = -(-s // b) * b
