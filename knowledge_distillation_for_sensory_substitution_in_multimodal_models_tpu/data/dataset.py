@@ -51,7 +51,9 @@ class SUNRGBDVQADataset:
         self.csv_file_path = os.path.join(root_data_dir, "SUNRGBD/csv_data", csv_file_name)
         self.df = pd.read_csv(self.csv_file_path)
         if subset_percentage is not None:
-            subset_size = int(len(self.df) * subset_percentage)
+            # reference head-slice (`int(len*pct)`), floored at 1 row so a
+            # tiny csv × small pct never yields an empty (NaN-val) dataset
+            subset_size = max(1, int(len(self.df) * subset_percentage))
             self.df = self.df.iloc[:subset_size]
         self.dataset_directory = os.path.join(root_data_dir, "SUNRGBD")
         # "prewitt_imagenet" reproduces the eval-path quirk of baking

@@ -118,3 +118,55 @@ def test_flash_grads_match_xla():
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a), atol=5e-4, rtol=5e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# Head-batched GQA variant (KDSS_FLASH_GQA=1 opt-in)
+# ---------------------------------------------------------------------------
+
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.flash_attention import (  # noqa: E402
+    flash_attention_gqa,
+)
+
+
+@pytest.mark.parametrize("b,sq,skv,hq,hkv,d,causal,masked", CASES)
+def test_gqa_flash_forward_matches_xla(b, sq, skv, hq, hkv, d, causal, masked):
+    q, k, v = _mk(b, sq, skv, hq, hkv, d)
+    mask = None
+    if masked:
+        m = np.ones((b, skv), dtype=bool)
+        m[:, skv - 37 :] = False
+        mask = jnp.asarray(m)
+    ref = dot_product_attention(
+        q, k, v,
+        mask=mask[:, None, None, :] if mask is not None else None,
+        causal=causal,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_gqa(q, k, v, mask=mask, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_gqa_flash_grads_match_xla():
+    b, s, hq, hkv, d = 2, 256, 4, 2, 64
+    q, k, v = _mk(b, s, s, hq, hkv, d)
+    m = np.ones((b, s), dtype=bool)
+    m[:, -37:] = False
+    mask = jnp.asarray(m)
+
+    def ref_loss(q, k, v):
+        o = dot_product_attention(q, k, v, mask=mask[:, None, None, :],
+                                  causal=True)
+        return jnp.sum(o**2)
+
+    def gqa_loss(q, k, v):
+        o = flash_attention_gqa(q, k, v, mask=mask, causal=True)
+        return jnp.sum(o**2)
+
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gg = jax.grad(gqa_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gr, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4, rtol=2e-4)
