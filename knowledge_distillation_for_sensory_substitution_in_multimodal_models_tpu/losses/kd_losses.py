@@ -224,7 +224,11 @@ def ntxent_loss(
     """
     s = _l2_normalize(student_features)
     t = _l2_normalize(teacher_features)
-    logits = (s @ t.T) / temperature
+    # f32 similarity/softmax regardless of feature dtype: bf16 logits
+    # quantize the loss to ~2^-8 relative and wash out small gradients
+    logits = jnp.einsum(
+        "nd,md->nm", s, t, preferred_element_type=jnp.float32
+    ) / temperature
     n = logits.shape[0]
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.mean(jnp.diagonal(log_probs))
@@ -249,7 +253,11 @@ def masked_ntxent_loss(
     """
     s = _l2_normalize(student_features)
     t = _l2_normalize(teacher_features)
-    logits = (s @ t.T) / temperature
+    # f32 similarity/softmax regardless of feature dtype: bf16 logits
+    # quantize the loss to ~2^-8 relative and wash out small gradients
+    logits = jnp.einsum(
+        "nd,md->nm", s, t, preferred_element_type=jnp.float32
+    ) / temperature
     neg_inf = jnp.finfo(logits.dtype).min
     logits = jnp.where(valid[None, :], logits, neg_inf)
     log_probs = jax.nn.log_softmax(logits, axis=-1)

@@ -226,7 +226,10 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
             loca_total = metrics["loca"] + terms["ce"]
             loss = lc.gamma * loca_total + (1.0 - lc.gamma) * terms["ce"]
 
-        metrics["loss"] = loss
+        # report metrics in f32: bf16 resolution (~2^-8 relative) hides
+        # small per-step loss movement and breaks evolution checks
+        metrics = {k: v.astype(jnp.float32) for k, v in metrics.items()}
+        metrics["loss"] = loss.astype(jnp.float32)
         return loss, metrics
 
     return loss_fn
