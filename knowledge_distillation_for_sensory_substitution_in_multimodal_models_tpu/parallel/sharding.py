@@ -133,6 +133,27 @@ def constrain(x, *spec):
             for ax in ((s,) if (s is None or isinstance(s, str)) else s)
         ):
             return x
+        # Drop axes that do not divide the dimension (e.g. a size-1 batch
+        # over data*fsdp in tiny configs): GSPMD would otherwise pad and
+        # "involuntarily fully rematerialize" on the transpose pass.
+        sizes = dict(abstract_mesh.shape_tuple)
+
+        def _fit(dim_size, s):
+            axes = (s,) if isinstance(s, str) else tuple(s or ())
+            prod = 1
+            kept = []
+            for ax in axes:
+                if dim_size % (prod * sizes[ax]) == 0:
+                    kept.append(ax)
+                    prod *= sizes[ax]
+            if not kept:
+                return None
+            return kept[0] if len(kept) == 1 else tuple(kept)
+
+        spec = tuple(
+            None if s is None else _fit(d, s)
+            for d, s in zip(x.shape, spec)
+        )
         return jax.lax.with_sharding_constraint(x, P(*spec))
     except Exception:
         return x
