@@ -108,9 +108,20 @@ class Qwen2Attention(nn.Module):
             cv = upd(cv, v, cache_index)
             k, v = ck, cv
             new_cache = {"k": ck, "v": cv}
-            # Decode steps (Sq=1) stay on the XLA path; flash blocks are
-            # sized for prefill/training lengths.
-            out = dot_product_attention(q, k, v, mask=mask, causal=False)
+            if s >= 128 and self.attn_impl.startswith("pallas") and mask is not None:
+                # One-shot prefill into a fresh cache (the Generator always
+                # prefills at cache_index 0, eval/decode.py): the decode_mask
+                # rows are causal ∧ kv-padding, so flash re-derives causality
+                # and takes the kv-padding from the most permissive row.
+                # Avoids materializing [B, H, S, total] f32 probabilities.
+                kv_mask = mask[:, :, -1:, :]
+                out = dot_product_attention(
+                    q, k, v, mask=kv_mask, causal=True, impl=self.attn_impl
+                )
+            else:
+                # Decode steps (Sq=1) stay on the XLA path; flash blocks are
+                # sized for prefill/training lengths.
+                out = dot_product_attention(q, k, v, mask=mask, causal=False)
         else:
             impl = self.attn_impl if s >= 128 else "xla"
             out = dot_product_attention(q, k, v, mask=mask, causal=True, impl=impl)

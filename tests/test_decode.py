@@ -144,3 +144,29 @@ def test_eos_stops(setup):
     plen = int(np.asarray(out["prompt_lengths"])[0])
     # only the eos token itself marked valid after the prompt
     assert valid[plen:].sum() == 1
+
+
+def test_pallas_prefill_matches_xla(setup):
+    """Prefill with s>=128 routes through the flash kernel when
+    attn_impl="pallas" (qwen2.py cached-prefill branch); generated tokens
+    must match the XLA path exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.utils.synthetic import (
+        synthetic_kd_batch,
+    )
+
+    _, params, _ = setup
+    batch = synthetic_kd_batch(CFG, batch_size=2, seq_len=160, seed=5)
+    jb = {
+        k: jnp.asarray(v) for k, v in batch.items()
+        if not k.startswith("teacher_")
+    }
+    gcfg = GenerateConfig(max_new_tokens=4, eos_token_id=-1)
+
+    gen_xla = Generator(LlavaOnevision(CFG, attn_impl="xla"), CFG, gcfg)
+    ref = np.asarray(gen_xla.generate(params, jb)["tokens"])
+
+    gen_fl = Generator(LlavaOnevision(CFG, attn_impl="pallas"), CFG, gcfg)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(gen_fl.generate(params, jb)["tokens"])
+    np.testing.assert_array_equal(got, ref)
