@@ -1,8 +1,25 @@
-"""Benchmark: baseline_depth train step (0.5B OneVision student, CE loss)
-on realistic SUNRGBD anyres shapes, single chip.
+"""Benchmark suite for the kdss-tpu framework, single chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
+Default (no --mode) runs all three and prints ONE JSON line whose headline
+metric is the KD train step — the actual product — with the baseline_depth
+step and greedy generation as extra fields:
+
+  {"metric": "kd_double_trouble_p1 ...", "value": N, "unit": "samples/s",
+   "vs_baseline": N, "extras": {"baseline_depth_samples_per_sec": ...,
+   "generation_tok_per_sec": ...}}
+
+Modes:
+  * ``baseline_depth`` — 0.5B OneVision student, depth stream, masked-CE
+    train step on realistic SUNRGBD anyres shapes (S=4864).
+  * ``kd`` — double-trouble PHASE 1 (KL + tile NT-Xent) with a ~1.2B
+    width-scaled stand-in teacher: the largest KD config that fits one
+    16 GB chip.  Phases 2/3 with the real 7B teacher are structurally
+    multi-chip (teacher fwd + student train at S=4864 is ~18 GB); their
+    sharded program is validated by ``__graft_entry__.dryrun_multichip``
+    and tests/test_fused_spmd.py.
+  * ``generation`` — jit KV-cache greedy decode (flash-kernel prefill),
+    32 new tokens on a ~5k-token prompt, reference decode config
+    (`evaluation/onevisionv3/evaluate_onevision.py:186-195`).
 
 ``vs_baseline`` compares against an estimated reference throughput: the
 reference publishes no speed numbers (SURVEY.md §6), so we use a
@@ -13,10 +30,9 @@ optimistic 40% MFU the reference would be ~4.2 samples/s — divide
 ``vs_baseline`` by 2.6 for that reading).
 
 Usage:
-  python bench.py                 # real chip, realistic shapes
-  python bench.py --cpu           # tiny smoke on CPU
-  python bench.py --mode kd       # double-trouble phase-3 KD step with a
-                                  # width-scaled teacher sized to one chip
+  python bench.py                       # full suite on the real chip
+  python bench.py --cpu                 # tiny smoke on CPU
+  python bench.py --mode kd --steps 4   # one mode only
 """
 
 from __future__ import annotations
@@ -47,35 +63,93 @@ def _flops_per_sample(params, seq_len: int, n_tiles: int, t_per_tile: int) -> fl
     )
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cpu", action="store_true", help="tiny CPU smoke run")
-    ap.add_argument("--mode", choices=["baseline_depth", "kd"],
-                    default="baseline_depth")
-    ap.add_argument("--steps", type=int, default=6)
-    ap.add_argument("--batch", type=int, default=1)
-    args = ap.parse_args()
-
-    import os
-
-    if args.cpu:
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
-        )
+def _materialize(shape_tree, seed, dtype):
+    """Random-normal params on device (cheap; avoids any possibility of
+    zero-value fast paths skewing the measurement)."""
     import jax
 
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+    leaves, treedef = jax.tree.flatten(shape_tree)
 
+    @jax.jit
+    def init(key):
+        keys = jax.random.split(key, max(len(leaves), 1))
+        return [
+            jax.random.normal(keys[i], leaves[i].shape, dtype) * 0.02
+            for i in range(len(leaves))
+        ]
+
+    return jax.tree.unflatten(treedef, init(jax.random.PRNGKey(seed)))
+
+
+def _shapes(model, micro, key, prefix):
+    import jax
+
+    return jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(key),
+            input_ids=micro[f"{prefix}_input_ids"],
+            attention_mask=micro[f"{prefix}_attention_mask"],
+            pixel_values=micro[f"{prefix}_pixel_values"],
+            pack_idx=micro["pack_idx"],
+            pack_weight=micro["pack_weight"],
+            pack_valid=micro["pack_valid"],
+            tile_valid=micro["tile_valid"],
+        )["params"]
+    )
+
+
+def _configs(args):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.configs import (
+        llava_onevision_0_5b,
+        llava_onevision_tiny,
+        llava_onevision_tiny_teacher,
+    )
+
+    if args.cpu:
+        return dict(
+            scfg=llava_onevision_tiny(), tcfg=llava_onevision_tiny_teacher(),
+            seq_len=96, orig=(45, 67), chunk=32, dtype=jnp.float32,
+            attn_impl="xla",
+        )
+    # SUNRGBD NYU-Kinect frames are 530x730: 2x3 anyres grid, 7 tiles,
+    # 4833 packed image tokens (+ text) -> static bucket 4864.  The
+    # static tile budget is trimmed to 8 (7 real + 1 spare) — the
+    # default 10 wastes 30% of vision compute/memory on padding here.
+    scfg = dataclasses.replace(llava_onevision_0_5b(), max_tiles=8)
+    # Single-chip KD bench teacher scaled to ~1.2B so teacher fwd +
+    # student train fit one 16GB chip (the real 7B teacher is a
+    # multi-chip tensor-parallel config; see dryrun_multichip).
+    base = llava_onevision_0_5b()
+    tcfg = dataclasses.replace(
+        base,
+        max_tiles=8,
+        text=dataclasses.replace(
+            base.text, hidden_size=1536, intermediate_size=4096,
+            num_attention_heads=12, num_key_value_heads=2,
+            head_dim=128, tie_word_embeddings=False,
+        ),
+    )
+    return dict(
+        scfg=scfg, tcfg=tcfg, seq_len=4864, orig=(530, 730), chunk=256,
+        dtype=jnp.bfloat16, attn_impl="pallas",
+    )
+
+
+def bench_train(args, mode: str) -> dict:
+    import jax
     import jax.numpy as jnp
     from flax.training.train_state import TrainState
 
     from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.configs import (
         TrainConfig,
         kd_loss_config_for,
-        llava_onevision_0_5b,
-        llava_onevision_tiny,
-        llava_onevision_tiny_teacher,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.anyres import (
+        num_tiles,
     )
     from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.models import (
         LlavaOnevision,
@@ -88,30 +162,11 @@ def main() -> None:
     from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.utils.synthetic import (
         synthetic_kd_batch,
     )
-    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.anyres import (
-        num_tiles,
-    )
 
-    if args.cpu:
-        scfg = llava_onevision_tiny()
-        tcfg = llava_onevision_tiny_teacher()
-        seq_len, orig = 96, (45, 67)
-        chunk = 32
-        dtype = jnp.float32
-        attn_impl = "xla"
-    else:
-        import dataclasses
-
-        # SUNRGBD NYU-Kinect frames are 530x730: 2x3 anyres grid, 7 tiles,
-        # 4833 packed image tokens (+ text) -> static bucket 4864.  The
-        # static tile budget is trimmed to 8 (7 real + 1 spare) — the
-        # default 10 wastes 30% of vision compute/memory on padding here.
-        scfg = dataclasses.replace(llava_onevision_0_5b(), max_tiles=8)
-        tcfg = None  # kd mode builds a scaled teacher below
-        seq_len, orig = 4864, (530, 730)
-        chunk = 256
-        dtype = jnp.bfloat16
-        attn_impl = "pallas"  # flash kernels: no [H,S,S] prob tensors
+    c = _configs(args)
+    scfg, tcfg = c["scfg"], c["tcfg"]
+    seq_len, orig, chunk, dtype = c["seq_len"], c["orig"], c["chunk"], c["dtype"]
+    attn_impl = c["attn_impl"]
 
     student = LlavaOnevision(scfg, dtype=dtype, remat=True, attn_impl=attn_impl)
     batch = synthetic_kd_batch(
@@ -120,61 +175,14 @@ def main() -> None:
     )
     batch = jax.tree.map(jnp.asarray, batch)
     micro = jax.tree.map(lambda x: x[0], batch)
+    sparams = _materialize(_shapes(student, micro, 0, "student"), 0, dtype)
 
-    def shapes(model, key, prefix):
-        return jax.eval_shape(
-            lambda: model.init(
-                jax.random.PRNGKey(key),
-                input_ids=micro[f"{prefix}_input_ids"],
-                attention_mask=micro[f"{prefix}_attention_mask"],
-                pixel_values=micro[f"{prefix}_pixel_values"],
-                pack_idx=micro["pack_idx"],
-                pack_weight=micro["pack_weight"],
-                pack_valid=micro["pack_valid"],
-                tile_valid=micro["tile_valid"],
-            )["params"]
-        )
-
-    def materialize(shape_tree, seed):
-        """Random-normal params on device (cheap; avoids any possibility of
-        zero-value fast paths skewing the measurement)."""
-        leaves, treedef = jax.tree.flatten(shape_tree)
-
-        @jax.jit
-        def init(key):
-            keys = jax.random.split(key, max(len(leaves), 1))
-            return [
-                jax.random.normal(keys[i], leaves[i].shape, dtype) * 0.02
-                for i in range(len(leaves))
-            ]
-
-        return jax.tree.unflatten(treedef, init(jax.random.PRNGKey(seed)))
-
-    sparams = materialize(shapes(student, 0, "student"), 0)
-
-    if args.mode == "kd":
-        if tcfg is None:
-            import dataclasses
-
-            # Single-chip KD bench: teacher scaled to ~1.2B so teacher fwd +
-            # student train fit one 16GB chip (the real 7B teacher is a
-            # multi-chip tensor-parallel config; see dryrun_multichip).
-            base = llava_onevision_0_5b()
-            tcfg = dataclasses.replace(
-                base,
-                text=dataclasses.replace(
-                    base.text, hidden_size=1536, intermediate_size=4096,
-                    num_attention_heads=12, num_key_value_heads=2,
-                    head_dim=128, tie_word_embeddings=False,
-                ),
-            )
-        teacher = LlavaOnevision(tcfg, dtype=dtype, remat=True, attn_impl=attn_impl)
-        tparams = materialize(shapes(teacher, 1, "teacher"), 1)
-        # Single-chip KD bench runs double-trouble PHASE 1.  Phases 2/3 were
-        # retried with the fully-fused streaming LoCa/CE path and still
-        # exceed 16 GB by ~2.4 GB (teacher fwd + student train + optimizer
-        # at S=4864 is structurally ~18 GB); they are the multi-chip
-        # teacher-TP configuration (see dryrun_multichip).
+    if mode == "kd":
+        teacher = LlavaOnevision(tcfg, dtype=dtype, remat=True,
+                                 attn_impl=attn_impl)
+        tparams = _materialize(_shapes(teacher, micro, 1, "teacher"), 1, dtype)
+        # Single-chip KD bench runs double-trouble PHASE 1 (see module
+        # docstring; phases 2/3 are the multi-chip configuration).
         cfg = TrainConfig(
             kd_mode="double_trouble", phase=1,
             loss=kd_loss_config_for("double_trouble"),
@@ -205,7 +213,7 @@ def main() -> None:
     t0 = time.time()
     state, metrics = step(state, tparams, batch)
     loss0 = fetch(metrics)
-    print(f"compile+first step: {time.time()-t0:.1f}s loss={loss0:.4f}",
+    print(f"[{mode}] compile+first step: {time.time()-t0:.1f}s loss={loss0:.4f}",
           file=sys.stderr)
     # second warmup: absorbs any residual lazy work before timing
     state, metrics = step(state, tparams, batch)
@@ -231,18 +239,140 @@ def main() -> None:
     )
     tflops = samples_per_sec * fl / 1e12
     print(
-        f"{samples_per_sec:.3f} samples/s, ~{tflops:.1f} TFLOP/s "
-        f"(model-FLOPs, excl. remat recompute), loss={float(metrics['loss']):.4f}",
+        f"[{mode}] {samples_per_sec:.3f} samples/s, ~{tflops:.1f} TFLOP/s "
+        f"(model-FLOPs, excl. remat recompute), loss={losses[-1]:.4f}",
         file=sys.stderr,
     )
+    return {
+        "samples_per_sec": round(samples_per_sec, 4),
+        "seq_len": seq_len,
+        "batch": args.batch,
+        "model_tflops_per_sec": round(tflops, 1),
+    }
 
-    label = "kd_double_trouble" if args.mode == "kd" else "baseline_depth"
+
+def bench_generation(args) -> dict:
+    """Greedy KV-cache decode: flash prefill + 32 new tokens (reference
+    decode config, rep-penalty 1.2 + bigram ban)."""
+    import jax
+    import jax.numpy as jnp
+
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.eval.decode import (
+        GenerateConfig,
+        Generator,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.models import (
+        LlavaOnevision,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.utils.synthetic import (
+        synthetic_kd_batch,
+    )
+
+    c = _configs(args)
+    scfg, dtype, attn_impl = c["scfg"], c["dtype"], c["attn_impl"]
+    seq_len, orig = c["seq_len"], c["orig"]
+    new_tokens = 8 if args.cpu else 32
+
+    model = LlavaOnevision(scfg, dtype=dtype, attn_impl=attn_impl)
+    batch = synthetic_kd_batch(
+        scfg, batch_size=1, seq_len=seq_len, orig_sizes=[orig], seed=3,
+    )
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if not k.startswith("teacher_")}
+    params = _materialize(_shapes(model, jb, 2, "student"), 2, dtype)
+    gcfg = GenerateConfig(max_new_tokens=new_tokens, eos_token_id=-1)
+    gen = Generator(model, scfg, gcfg)
+
+    def run():
+        out = gen.generate(params, jb)
+        return jax.device_get(out["sequences"][:, -1])  # true sync
+
+    t0 = time.time()
+    run()
+    print(f"[generation] compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+    run()  # warmup
+
+    reps = 2 if args.cpu else 4
+    t0 = time.time()
+    for _ in range(reps):
+        run()
+    dt = (time.time() - t0) / reps
+    tok_s = new_tokens / dt
+    print(f"[generation] {dt*1e3:.0f} ms / {new_tokens} tokens "
+          f"(prompt {seq_len}) = {tok_s:.1f} tok/s", file=sys.stderr)
+    return {
+        "tok_per_sec": round(tok_s, 1),
+        "ms_per_call": round(dt * 1e3, 1),
+        "prompt_len": seq_len,
+        "new_tokens": new_tokens,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true", help="tiny CPU smoke run")
+    ap.add_argument("--mode",
+                    choices=["all", "baseline_depth", "kd", "generation"],
+                    default="all")
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=1)
+    args = ap.parse_args()
+
+    import os
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=1"
+        )
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    results = {}
+    if args.mode in ("all", "kd"):
+        results["kd"] = bench_train(args, "kd")
+    if args.mode in ("all", "baseline_depth"):
+        results["baseline_depth"] = bench_train(args, "baseline_depth")
+    if args.mode in ("all", "generation"):
+        results["generation"] = bench_generation(args)
+
     model_tag = "tiny-cpu-smoke" if args.cpu else "0.5B student"
+    if "kd" in results:
+        head, label = results["kd"], "kd_double_trouble_p1"
+        teacher_tag = "tiny teacher" if args.cpu else "1.2B teacher"
+        detail = f"{teacher_tag}, S={head['seq_len']}, B={head['batch']}"
+    elif "baseline_depth" in results:
+        head, label = results["baseline_depth"], "baseline_depth"
+        detail = f"S={head['seq_len']}, B={head['batch']}"
+    else:
+        g = results["generation"]
+        print(json.dumps({
+            "metric": f"greedy decode tok/sec ({model_tag}, "
+                      f"prompt={g['prompt_len']})",
+            "value": g["tok_per_sec"], "unit": "tok/s",
+            "vs_baseline": None,
+        }))
+        return
+
+    extras = {}
+    if "baseline_depth" in results and label != "baseline_depth":
+        extras["baseline_depth_samples_per_sec"] = (
+            results["baseline_depth"]["samples_per_sec"]
+        )
+    if "generation" in results:
+        extras["generation_tok_per_sec"] = results["generation"]["tok_per_sec"]
+        extras["generation_ms_per_call"] = results["generation"]["ms_per_call"]
+
     print(json.dumps({
-        "metric": f"{label} train samples/sec ({model_tag}, S={seq_len}, B={args.batch}, 1 chip)",
-        "value": round(samples_per_sec, 4),
+        "metric": f"{label} train samples/sec ({model_tag}, {detail}, 1 chip)",
+        "value": head["samples_per_sec"],
         "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / REF_A100_SAMPLES_PER_SEC, 4),
+        "vs_baseline": round(
+            head["samples_per_sec"] / REF_A100_SAMPLES_PER_SEC, 4
+        ),
+        "extras": extras,
     }))
 
 

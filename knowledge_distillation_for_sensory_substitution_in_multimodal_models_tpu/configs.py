@@ -255,6 +255,10 @@ class TrainConfig:
     # CE implementation: "chunked" (XLA scan) or "fused" (Pallas
     # vocab-streaming kernel; TPU only, baseline/CE-only path)
     ce_impl: str = "chunked"
+    # Per-shard impl inside the mesh-sharded fused losses
+    # (ops/fused_spmd.py): "pallas" (production TPU) or "xla" (CPU-mesh
+    # tests; interpret-mode Pallas hangs inside shard_map on CPU)
+    fused_local_impl: str = "pallas"
 
     # Mesh axes (data, fsdp, tensor); product must equal device count
     mesh_shape: Tuple[int, int, int] = (1, 1, 1)

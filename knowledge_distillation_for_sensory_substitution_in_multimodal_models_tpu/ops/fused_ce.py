@@ -254,10 +254,11 @@ def _lse_gold_bwd(v_real, res, g):
 _lse_gold.defvjp(_lse_gold_fwd, _lse_gold_bwd)
 
 
-def fused_ce_loss(hidden: jnp.ndarray, w: jnp.ndarray, labels: jnp.ndarray):
-    """Mean CE over ``labels != -100``; labels pre-shifted by the caller.
+def fused_ce_sum(hidden: jnp.ndarray, w: jnp.ndarray, labels: jnp.ndarray):
+    """(sum of NLL over valid rows, valid count) — the pre-reduction CE.
 
-    hidden [N, D] (any float dtype), w [D, V], labels [N] int.
+    Split out of :func:`fused_ce_loss` so row-sharded callers
+    (ops/fused_spmd.py) can psum the partial sums before dividing.
     """
     n, d = hidden.shape
     v_real = w.shape[1]
@@ -273,4 +274,13 @@ def fused_ce_loss(hidden: jnp.ndarray, w: jnp.ndarray, labels: jnp.ndarray):
 
     lse, gold = _lse_gold(h_p, w_p, lab_p, v_real)
     nll = (lse - gold)[:n] * valid
-    return nll.sum() / jnp.maximum(valid.sum(), 1)
+    return nll.sum(), valid.sum()
+
+
+def fused_ce_loss(hidden: jnp.ndarray, w: jnp.ndarray, labels: jnp.ndarray):
+    """Mean CE over ``labels != -100``; labels pre-shifted by the caller.
+
+    hidden [N, D] (any float dtype), w [D, V], labels [N] int.
+    """
+    nll_sum, count = fused_ce_sum(hidden, w, labels)
+    return nll_sum / jnp.maximum(count, 1)

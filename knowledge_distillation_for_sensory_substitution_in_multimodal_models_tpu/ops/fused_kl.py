@@ -216,18 +216,17 @@ def _kl_rows_bwd(v_real, inv_t, res, g):
 _kl_rows.defvjp(_kl_rows_fwd, _kl_rows_bwd)
 
 
-def fused_kl_loss(
+def fused_kl_sum(
     student_hidden: jnp.ndarray,
     student_head: jnp.ndarray,
     teacher_hidden: jnp.ndarray,
     teacher_head: jnp.ndarray,
     temperature: float = 1.0,
 ) -> jnp.ndarray:
-    """mean_el[ p_T (log p_T - log p_S) ] * T^2 over [N, V] (torch 'mean').
+    """Sum over rows of sum_v p_T (log p_T - log p_S) — pre-reduction KL.
 
-    student_hidden [N, Ds], student_head [Ds, V]; teacher pre-truncated to
-    the same V via ``teacher_head[:, :V]``.  Teacher inputs are treated as
-    constants (zero cotangent), matching the KD stop-gradient.
+    Split out of :func:`fused_kl_loss` so row-sharded callers
+    (ops/fused_spmd.py) can psum partial sums before the global mean.
     """
     n, _ = student_hidden.shape
     v_real = student_head.shape[1]
@@ -245,4 +244,26 @@ def fused_kl_loss(
         wt = _pad_to(wt, 128, 0)
 
     kl_rows = _kl_rows(hs, ws, ht, wt, v_real, inv_t)
-    return kl_rows[:n].sum() / (n * v_real) * (temperature ** 2)
+    return kl_rows[:n].sum()
+
+
+def fused_kl_loss(
+    student_hidden: jnp.ndarray,
+    student_head: jnp.ndarray,
+    teacher_hidden: jnp.ndarray,
+    teacher_head: jnp.ndarray,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """mean_el[ p_T (log p_T - log p_S) ] * T^2 over [N, V] (torch 'mean').
+
+    student_hidden [N, Ds], student_head [Ds, V]; teacher pre-truncated to
+    the same V via ``teacher_head[:, :V]``.  Teacher inputs are treated as
+    constants (zero cotangent), matching the KD stop-gradient.
+    """
+    n = student_hidden.shape[0]
+    v_real = student_head.shape[1]
+    total = fused_kl_sum(
+        student_hidden, student_head, teacher_hidden, teacher_head,
+        temperature=temperature,
+    )
+    return total / (n * v_real) * (temperature ** 2)

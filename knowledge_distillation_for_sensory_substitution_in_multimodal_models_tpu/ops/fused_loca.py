@@ -401,7 +401,7 @@ def _loca_rows_bwd(v_real, inv_t, alpha, eps, res, g):
 _loca_rows.defvjp(_loca_rows_fwd, _loca_rows_bwd)
 
 
-def fused_loca_loss(
+def fused_loca_sum(
     student_hidden: jnp.ndarray,
     student_head: jnp.ndarray,
     teacher_hidden: jnp.ndarray,
@@ -411,11 +411,10 @@ def fused_loca_loss(
     alpha: float = 0.8,
     eps: float = 1e-8,
 ) -> jnp.ndarray:
-    """Paper-correct LoCa KL, torch-'mean' reduction * T^2 (matches
-    ``losses.kd_losses.loca_loss(faithful_indexing=False)``).
+    """Sum over rows of the calibrated-KL row sums — pre-reduction LoCa.
 
-    student_hidden [N, Ds], heads [D, V]; teacher head truncated to the
-    student vocab inside.  Teacher inputs are stop-grad.
+    Split out of :func:`fused_loca_loss` so row-sharded callers
+    (ops/fused_spmd.py) can psum partial sums before the global mean.
     """
     n = student_hidden.shape[0]
     v_real = student_head.shape[1]
@@ -435,4 +434,29 @@ def fused_loca_loss(
         wt = _pad_to(wt, 128, 0)
 
     kl_rows = _loca_rows(hs, ws, ht, wt, lab, v_real, inv_t, alpha, eps)
-    return kl_rows[:n].sum() / (n * v_real) * (temperature ** 2)
+    return kl_rows[:n].sum()
+
+
+def fused_loca_loss(
+    student_hidden: jnp.ndarray,
+    student_head: jnp.ndarray,
+    teacher_hidden: jnp.ndarray,
+    teacher_head: jnp.ndarray,
+    labels: jnp.ndarray,
+    temperature: float = 1.0,
+    alpha: float = 0.8,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Paper-correct LoCa KL, torch-'mean' reduction * T^2 (matches
+    ``losses.kd_losses.loca_loss(faithful_indexing=False)``).
+
+    student_hidden [N, Ds], heads [D, V]; teacher head truncated to the
+    student vocab inside.  Teacher inputs are stop-grad.
+    """
+    n = student_hidden.shape[0]
+    v_real = student_head.shape[1]
+    total = fused_loca_sum(
+        student_hidden, student_head, teacher_hidden, teacher_head, labels,
+        temperature=temperature, alpha=alpha, eps=eps,
+    )
+    return total / (n * v_real) * (temperature ** 2)

@@ -1,0 +1,235 @@
+"""Mesh-aware wrappers for the fused vocab-streaming loss kernels.
+
+Pallas custom calls are opaque to GSPMD: invoked directly inside a
+mesh-jitted program, the partitioner replicates their operands and every
+chip sweeps the full [N, V] logits space.  These wrappers instead shard
+the row axis N = B*S over the (data, fsdp) mesh axes with ``shard_map``
+— each shard runs the kernel on its rows only — then ``psum`` the
+per-shard partial sums and apply the global reduction outside.  The head
+matrices enter replicated (one all-gather of a vocab-sharded teacher
+head per step; XLA CSEs it across CE/KL/LoCa since all three see the
+same operand).
+
+This is the production multi-chip loss path for double-trouble phases
+2/3 (reference anchor: `distillation/knowledge_distillation7b_double_trouble/
+phase3/train_online_kd.py:108-116` +
+`knowledge_distillation7b_logit_based/OnlineKnowledgeDistillationLLavaOneVision.py:208-261`),
+which cannot fit one chip and therefore only ever run under a mesh.
+
+``local_impl`` selects the per-shard math: ``"pallas"`` (the fused
+kernels; production TPU path — interpret-mode Pallas inside shard_map
+hangs on the CPU backend, so this arm is TPU-only) or ``"xla"`` (same
+per-row quantities in stock XLA ops; used by the CPU-mesh equivalence
+tests, which therefore validate the sharding/psum plumbing and the
+reduction contract on every path the pallas arm shares).
+
+With no active mesh — or rows that don't divide over the data axes —
+each wrapper falls back to its single-device fused kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..losses.kd_losses import IGNORE_INDEX, loca_calibrated_probs
+from .fused_ce import fused_ce_loss, fused_ce_sum
+from .fused_kl import fused_kl_loss, fused_kl_sum
+from .fused_loca import fused_loca_loss, fused_loca_sum
+
+
+def _abstract_mesh():
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        if m is not None and m.shape_tuple:
+            return m
+    except Exception:
+        pass
+    return None
+
+
+def _row_axes(mesh, n_rows: int) -> Tuple[str, ...]:
+    """Largest (data, fsdp) axis combo with size > 1 that divides N."""
+    sizes = {a: mesh.shape[a] for a in mesh.axis_names}
+    for axes in (("data", "fsdp"), ("data",), ("fsdp",)):
+        prod = 1
+        for a in axes:
+            prod *= sizes.get(a, 1)
+        if prod > 1 and n_rows % prod == 0:
+            if all(sizes.get(a, 1) >= 1 and a in sizes for a in axes):
+                return axes
+    return ()
+
+
+# ---------------------------------------------------------------------------
+# Per-shard XLA reference math (tiny-shape CPU tests; same contracts as the
+# *_sum kernels above).
+# ---------------------------------------------------------------------------
+
+
+def _ce_sum_xla(h, w, labels):
+    logits = jnp.einsum(
+        "nd,dv->nv", h, w, preferred_element_type=jnp.float32
+    )
+    valid = labels != IGNORE_INDEX
+    safe = jnp.where(valid, labels, 0)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+    return ((lse - gold) * valid).sum(), valid.sum()
+
+
+def _kl_sum_xla(hs, ws, ht, wt, temperature):
+    v = ws.shape[1]
+    s = jnp.einsum("nd,dv->nv", hs, ws,
+                   preferred_element_type=jnp.float32) / temperature
+    t = jnp.einsum("nd,dv->nv", ht, wt[:, :v],
+                   preferred_element_type=jnp.float32) / temperature
+    log_ps = jax.nn.log_softmax(s, axis=-1)
+    log_pt = jax.nn.log_softmax(t, axis=-1)
+    pt = jnp.exp(log_pt)
+    return (pt * (log_pt - log_ps)).sum()
+
+
+def _loca_sum_xla(hs, ws, ht, wt, labels, temperature, alpha, eps):
+    v = ws.shape[1]
+    s = jnp.einsum("nd,dv->nv", hs, ws,
+                   preferred_element_type=jnp.float32) / temperature
+    t = jnp.einsum("nd,dv->nv", ht, wt[:, :v],
+                   preferred_element_type=jnp.float32) / temperature
+    p_t = jax.nn.softmax(t, axis=-1)
+    p_s = jax.nn.softmax(s, axis=-1)
+    log_ps = jnp.log(jnp.clip(p_s, eps, None))
+    loca_t = loca_calibrated_probs(p_t[None], labels[None], alpha)[0]
+    safe_log = jnp.log(jnp.where(loca_t > 0, loca_t, 1.0))
+    return jnp.where(loca_t > 0, loca_t * (safe_log - log_ps), 0.0).sum()
+
+
+# ---------------------------------------------------------------------------
+# shard_map wrappers
+# ---------------------------------------------------------------------------
+
+
+def _sharded_sums(local_fn, row_args, rep_args, axes, mesh, n_out: int):
+    """shard_map ``local_fn`` with rows sharded over ``axes`` and the rest
+    replicated; returns ``n_out`` psum'd scalars."""
+    row_spec = []
+    for a in row_args:
+        row_spec.append(P(axes, *([None] * (a.ndim - 1))))
+    rep_spec = [P(*([None] * a.ndim)) for a in rep_args]
+
+    def body(*args):
+        outs = local_fn(*args)
+        if n_out == 1:
+            outs = (outs,)
+        return tuple(jax.lax.psum(o, axes) for o in outs)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=tuple(row_spec + rep_spec),
+        out_specs=tuple(P() for _ in range(n_out)),
+        check_vma=False,
+    )
+    outs = fn(*row_args, *rep_args)
+    return outs[0] if n_out == 1 else outs
+
+
+def fused_ce_loss_spmd(
+    hidden: jnp.ndarray,
+    w: jnp.ndarray,
+    labels: jnp.ndarray,
+    *,
+    local_impl: str = "pallas",
+) -> jnp.ndarray:
+    """Row-sharded fused CE: mean NLL over ``labels != -100`` globally."""
+    mesh = _abstract_mesh()
+    axes = _row_axes(mesh, hidden.shape[0]) if mesh is not None else ()
+    if not axes:
+        return fused_ce_loss(hidden, w, labels)
+
+    def local(h, lab, w_):
+        if local_impl == "pallas":
+            return fused_ce_sum(h, w_, lab)
+        return _ce_sum_xla(h, w_, lab)
+
+    nll_sum, count = _sharded_sums(
+        local, [hidden, labels], [w], axes, mesh, n_out=2
+    )
+    return nll_sum / jnp.maximum(count, 1)
+
+
+def fused_kl_loss_spmd(
+    student_hidden: jnp.ndarray,
+    student_head: jnp.ndarray,
+    teacher_hidden: jnp.ndarray,
+    teacher_head: jnp.ndarray,
+    temperature: float = 1.0,
+    *,
+    local_impl: str = "pallas",
+) -> jnp.ndarray:
+    """Row-sharded fused KL, torch-'mean' reduction * T^2 over global N·V."""
+    mesh = _abstract_mesh()
+    n = student_hidden.shape[0]
+    axes = _row_axes(mesh, n) if mesh is not None else ()
+    if not axes:
+        return fused_kl_loss(
+            student_hidden, student_head, teacher_hidden, teacher_head,
+            temperature=temperature,
+        )
+    v_real = student_head.shape[1]
+
+    def local(hs, ht, ws, wt):
+        if local_impl == "pallas":
+            return fused_kl_sum(hs, ws, ht, wt, temperature=temperature)
+        return _kl_sum_xla(hs, ws, ht, wt, temperature)
+
+    total = _sharded_sums(
+        local, [student_hidden, teacher_hidden],
+        [student_head, teacher_head], axes, mesh, n_out=1,
+    )
+    return total / (n * v_real) * (temperature ** 2)
+
+
+def fused_loca_loss_spmd(
+    student_hidden: jnp.ndarray,
+    student_head: jnp.ndarray,
+    teacher_hidden: jnp.ndarray,
+    teacher_head: jnp.ndarray,
+    labels: jnp.ndarray,
+    temperature: float = 1.0,
+    alpha: float = 0.8,
+    eps: float = 1e-8,
+    *,
+    local_impl: str = "pallas",
+) -> jnp.ndarray:
+    """Row-sharded fused LoCa KL, torch-'mean' * T^2 over global N·V.
+
+    LoCa's calibration statistics (teacher lse / p_gt / top-2) are per-row,
+    so row sharding splits the work without any cross-shard stat exchange.
+    """
+    mesh = _abstract_mesh()
+    n = student_hidden.shape[0]
+    axes = _row_axes(mesh, n) if mesh is not None else ()
+    if not axes:
+        return fused_loca_loss(
+            student_hidden, student_head, teacher_hidden, teacher_head,
+            labels, temperature=temperature, alpha=alpha, eps=eps,
+        )
+    v_real = student_head.shape[1]
+
+    def local(hs, ht, lab, ws, wt):
+        if local_impl == "pallas":
+            return fused_loca_sum(
+                hs, ws, ht, wt, lab,
+                temperature=temperature, alpha=alpha, eps=eps,
+            )
+        return _loca_sum_xla(hs, ws, ht, wt, lab, temperature, alpha, eps)
+
+    total = _sharded_sums(
+        local, [student_hidden, teacher_hidden, labels],
+        [student_head, teacher_head], axes, mesh, n_out=1,
+    )
+    return total / (n * v_real) * (temperature ** 2)

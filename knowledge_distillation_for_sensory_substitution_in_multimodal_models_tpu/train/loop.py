@@ -124,7 +124,10 @@ def run_training(
                 return state
 
         # ---- validation epoch ----
-        val_losses = []
+        # Accumulate on device and fetch ONCE per epoch: through the axon
+        # tunnel every host fetch costs ~30 ms RTT, so a per-micro-batch
+        # float() stalls the whole val epoch (30 ms x A x |val set|).
+        val_sum, val_n = None, 0
         for batch in val_loader:
             batch.pop("question_id", None)
             micro_batches = batch["student_input_ids"].shape[0]
@@ -134,8 +137,9 @@ def run_training(
                     state.params, teacher_params,
                     jax.tree.map(lambda x: x[a_i], db),
                 )
-                val_losses.append(float(m["loss"]))
-        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+                val_sum = m["loss"] if val_sum is None else val_sum + m["loss"]
+                val_n += 1
+        val_loss = float(val_sum) / val_n if val_n else float("nan")
         tb.scalar("val_loss", val_loss, step_i)
         print(f"epoch {epoch} val_loss {val_loss:.4f}", flush=True)
 

@@ -153,11 +153,18 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
         )
         metrics: Dict[str, jnp.ndarray] = dict(terms)
         if fused_ce or fused_kl or fused_loca:
+            # The *_spmd wrappers shard rows over (data, fsdp) via
+            # shard_map when a mesh is active (the multi-chip phases 2/3
+            # path) and fall back to the plain single-device kernels
+            # otherwise (ops/fused_spmd.py).
             from ..losses.kd_losses import IGNORE_INDEX
-            from ..ops.fused_ce import fused_ce_loss
-            from ..ops.fused_kl import fused_kl_loss
-            from ..ops.fused_loca import fused_loca_loss
+            from ..ops.fused_spmd import (
+                fused_ce_loss_spmd,
+                fused_kl_loss_spmd,
+                fused_loca_loss_spmd,
+            )
 
+            impl = cfg.fused_local_impl
             b, s_len, d_model = s_hidden.shape
             flat_h = s_hidden.reshape(b * s_len, d_model)
             if fused_ce:
@@ -165,21 +172,23 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                     [labels[:, 1:],
                      jnp.full((b, 1), IGNORE_INDEX, labels.dtype)], axis=1
                 )
-                metrics["ce"] = fused_ce_loss(
-                    flat_h, ws, ce_labels.reshape(b * s_len)
+                metrics["ce"] = fused_ce_loss_spmd(
+                    flat_h, ws, ce_labels.reshape(b * s_len),
+                    local_impl=impl,
                 )
             if fused_kl:
-                metrics["kl"] = fused_kl_loss(
+                metrics["kl"] = fused_kl_loss_spmd(
                     flat_h, ws,
                     th.reshape(b * s_len, th.shape[-1]), wt,
-                    temperature=lc.temperature,
+                    temperature=lc.temperature, local_impl=impl,
                 )
             if fused_loca:
-                metrics["loca"] = fused_loca_loss(
+                metrics["loca"] = fused_loca_loss_spmd(
                     flat_h, ws,
                     th.reshape(b * s_len, th.shape[-1]), wt,
                     labels.reshape(b * s_len),
                     temperature=lc.temperature, alpha=lc.loca_alpha,
+                    local_impl=impl,
                 )
         terms = metrics
         if use_faithful_loca:
