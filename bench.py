@@ -219,6 +219,9 @@ def bench_train(args, mode: str) -> dict:
     state, metrics = step(state, tparams, batch)
     fetch(metrics)
 
+    profiling = getattr(args, "profile_dir", None)
+    if profiling:
+        jax.profiler.start_trace(profiling)
     t0 = time.time()
     losses = []
     for i in range(args.steps):
@@ -227,6 +230,8 @@ def bench_train(args, mode: str) -> dict:
         print(f"  step {i}: loss={losses[-1]:.5f} cum={time.time()-t0:.2f}s",
               file=sys.stderr)
     dt = time.time() - t0
+    if profiling:
+        jax.profiler.stop_trace()
     if len(set(f"{l:.6f}" for l in losses)) == 1 and args.steps > 2:
         print("WARNING: loss did not evolve across steps — timing may not "
               "reflect real execution", file=sys.stderr)
@@ -316,6 +321,8 @@ def main() -> None:
                     default="all")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--profile_dir", type=str, default=None,
+                    help="capture a jax.profiler trace of the timed steps")
     args = ap.parse_args()
 
     import os

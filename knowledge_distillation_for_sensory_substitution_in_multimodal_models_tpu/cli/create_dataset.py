@@ -9,8 +9,11 @@ with the reference's try/except-continue error tolerance
 caps (`:242-252`), writes per-type CSVs, then merges/cleans/balances into
 the final ``{train,val,test}_dataset.csv`` consumed by the data layer.
 
-Color questions require a local VQA callable (BLIP in the reference); they
-are skipped unless ``--color_model_path`` points at a local snapshot.
+Color questions are model-in-the-loop in the reference (BLIP per image,
+`color_questions.py:151-181`); here ``--color_backend`` selects between the
+always-available offline heuristic (region dominant-color), a local BLIP
+snapshot (parity), or the converted OneVision student, so all six CSV
+types are emitted with no downloads.
 """
 
 from __future__ import annotations
@@ -32,8 +35,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--splits", nargs="+",
                    default=["train", "validation", "test"])
     p.add_argument("--combined_words_csv", type=str, default=None)
+    p.add_argument("--color_backend", type=str, default="heuristic",
+                   choices=["heuristic", "blip", "student", "none"],
+                   help="color-question VQA backend: 'heuristic' "
+                        "(region dominant-color, always available offline), "
+                        "'blip' (reference parity, needs --color_model_path), "
+                        "'student' (converted OneVision student via "
+                        "--student_checkpoint), 'none' (skip color CSV)")
     p.add_argument("--color_model_path", type=str, default=None,
-                   help="local BLIP-VQA snapshot for color questions")
+                   help="local BLIP-VQA snapshot (--color_backend blip)")
+    p.add_argument("--student_checkpoint", type=str, default=None,
+                   help="student ckpt dir (--color_backend student)")
+    p.add_argument("--tokenizer_path", type=str, default=None,
+                   help="processor/tokenizer path for the student backend")
     p.add_argument("--toolbox_dir", type=str, default=None,
                    help="run .mat extraction first (SUNRGBDtoolbox dir)")
     p.add_argument("--no_spellcheck", action="store_true",
@@ -48,21 +62,21 @@ SPLIT_CSV_NAME = {"train": "train_dataset.csv", "validation": "val_dataset.csv",
                   "test": "test_dataset.csv"}
 
 
-def make_color_vqa(path):
-    if not path:
+def make_color_vqa(args):
+    """Resolve the color-question backend (data/creation/color_backend.py)."""
+    from ..data.creation import color_backend as cb
+
+    if args.color_backend == "none":
         return None
-    from PIL import Image
-    from transformers import BlipForQuestionAnswering, BlipProcessor
-
-    processor = BlipProcessor.from_pretrained(path, local_files_only=True)
-    model = BlipForQuestionAnswering.from_pretrained(path, local_files_only=True)
-
-    def vqa(image, question):
-        inputs = processor(Image.fromarray(image), question, return_tensors="pt")
-        out = model.generate(**inputs, max_new_tokens=10)
-        return processor.decode(out[0], skip_special_tokens=True)
-
-    return vqa
+    if args.color_backend == "blip":
+        if not args.color_model_path:
+            raise SystemExit("--color_backend blip needs --color_model_path")
+        return cb.make_blip_color_vqa(args.color_model_path)
+    if args.color_backend == "student":
+        return cb.make_student_color_vqa(
+            args.student_checkpoint, args.tokenizer_path
+        )
+    return cb.heuristic_color_vqa
 
 
 def main(argv=None):
@@ -91,7 +105,7 @@ def main(argv=None):
 
     combined = load_combined_words(args.combined_words_csv)
     spell = not args.no_spellcheck
-    vqa_fn = make_color_vqa(args.color_model_path)
+    vqa_fn = make_color_vqa(args)
     rng = random.Random(args.seed)
 
     def read_paths(split, name):

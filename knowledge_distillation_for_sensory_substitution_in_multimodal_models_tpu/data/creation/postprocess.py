@@ -4,9 +4,10 @@ Pipeline parity (`process_text_only`, `post_process.py:43-67`):
 1. split concatenated words via ``combined_words_mapping.csv``;
 2. numbers -> words;
 3. strip trailing digits from words;
-4. spell-correct (TextBlob word-level, then an HF text2text model) —
-   **gated**: neither package/model is available offline, so these steps
-   are skipped unless the caller installs them (``enable_spellcheck``);
+4. spell-correct: word-level Norvig correction (TextBlob when installed,
+   else the native corrector in utils/spelling.py — same algorithm over a
+   domain-weighted corpus), then the HF text2text model pass, which stays
+   gated offline (a learned seq2seq with no local substitute);
 5. lowercase.
 
 A built-in default mapping covers the common SUNRGBD concatenations; pass
@@ -48,22 +49,34 @@ def load_combined_words(mapping_csv: Optional[str] = None) -> Dict[str, str]:
 
 @functools.lru_cache(maxsize=1)
 def _spell_fixers():
-    """(textblob_correct, hf_pipeline) or (None, None) when unavailable."""
+    """(word_corrector, hf_pipeline); hf may be None when unavailable.
+
+    The word-level pass prefers TextBlob when installed (exact reference
+    behavior) and otherwise uses the native Norvig corrector
+    (utils/spelling.py) — same algorithm, domain-weighted corpus.  The HF
+    text2text model (`post_process.py:61`) stays gated: it is a learned
+    seq2seq model with no offline substitute.
+    """
     tb = hf = None
     try:
         from textblob import Word
 
-        tb = Word
+        tb = lambda w: str(Word(w).correct())  # noqa: E731
     except Exception:
-        pass
+        from ...utils.spelling import correct_word
+
+        tb = correct_word
     try:
         import torch
         from transformers import pipeline
 
+        # local_files_only: fail fast from the local cache instead of
+        # burning minutes of network retries in offline environments
         hf = pipeline(
             "text2text-generation",
             model="oliverguhr/spelling-correction-english-base",
             device=0 if torch.cuda.is_available() else -1,
+            model_kwargs={"local_files_only": True},
         )
     except Exception:
         pass
@@ -86,7 +99,7 @@ def process_text_only(
     if enable_spellcheck:
         tb, hf = _spell_fixers()
         if tb is not None:
-            text = " ".join(str(tb(w).correct()) for w in text.split())
+            text = " ".join(tb(w) for w in text.split())
         if hf is not None:
             text = hf(text, max_length=20)[0]["generated_text"].rstrip(".")
 

@@ -204,6 +204,37 @@ def direction_row(
     }
 
 
+def _prominent_bbox_crop(annotation: dict, image, name: str):
+    """Crop of the prominent object's polygon bbox (None if unavailable).
+
+    Region-aware color backends (data/creation/color_backend.py) classify
+    pixels of exactly the object being asked about; image-level models
+    (BLIP, the student) ignore the crop.
+    """
+    try:
+        import numpy as np
+
+        from .prominent import find_object_polygon
+
+        idx = find_object_index(annotation, name)
+        if idx < 0:
+            return None
+        poly = find_object_polygon(annotation, idx)
+        if not poly or not poly.get("x") or not poly.get("y"):
+            return None
+        arr = np.asarray(image)
+        xs = [float(v) for v in poly["x"]]
+        ys = [float(v) for v in poly["y"]]
+        h, w = arr.shape[:2]
+        x0, x1 = max(0, int(min(xs))), min(w, int(max(xs)) + 1)
+        y0, y1 = max(0, int(min(ys))), min(h, int(max(ys)) + 1)
+        if x1 - x0 < 2 or y1 - y0 < 2:
+            return None
+        return arr[y0:y1, x0:x1]
+    except Exception:
+        return None
+
+
 def color_row(
     annotation: dict,
     image,
@@ -211,15 +242,18 @@ def color_row(
     combined_words=None,
     enable_spellcheck=True,
 ) -> Optional[Row]:
-    """Model-in-the-loop color question: ``vqa_fn`` answers
-    "What is the color of the {object}?" on the RGB image (the reference
-    shells into BLIP-VQA here, `color_questions.py:151-181`)."""
+    """Model-in-the-loop color question: ``vqa_fn(image, question,
+    crop=...)`` answers "What is the color of the {object}?" on the RGB
+    image (the reference shells into BLIP-VQA here,
+    `color_questions.py:151-181`); ``crop`` is the prominent object's bbox
+    for region-aware local backends."""
     name = find_most_prominent_object(annotation)
     if name is None:
         return None
     p_name = process_text_only(name, combined_words, enable_spellcheck)
     question = f"What is the color of {p_name}?"
-    answer = vqa_fn(image, f"What is the color of the {p_name}?")
+    crop = _prominent_bbox_crop(annotation, image, name)
+    answer = vqa_fn(image, f"What is the color of the {p_name}?", crop=crop)
     if not answer:
         return None
     return {

@@ -770,8 +770,11 @@ def _gqa_dkv_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _gqa_pick_bq(s: int) -> int:
-    return _pick_block(s, target=256)
+def _gqa_pick_bq(s: int, g: int) -> int:
+    """Query block scaled so g*bq stays ~2048 rows: the VMEM stack (acc/m/l
+    scratch + q/o/lse blocks) grows with g*bq and exceeds the 16M scoped
+    limit at g=14, bq=256 (measured 19.02M with packed pairs)."""
+    return _pick_block(s, target=max(128, 2048 // max(g, 1)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -804,7 +807,7 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale):
     # q [B, HKV, G, S, D]; k/v [B, HKV, S, D]
     b, hkv, g, sq, d = q.shape
     skv = k.shape[2]
-    bq, bk = _gqa_pick_bq(sq), _pick_block(skv)
+    bq, bk = _gqa_pick_bq(sq, g), _pick_block(skv)
     n_q, n_kv = sq // bq, skv // bk
     qspec, kspec, mspec = _gqa_specs(b, hkv, g, bq, bk, d, kv_mask)
     lspec = pl.BlockSpec((1, 1, g, bq, 128),
@@ -851,7 +854,7 @@ def _flash_gqa_vjp_bwd(causal, scale, res, gout):
     lse = jnp.broadcast_to(lse_slim, (*lse_slim.shape[:-1], 128))
     b, hkv, g, sq, d = q.shape
     skv = k.shape[2]
-    bq, bk = _gqa_pick_bq(sq), _pick_block(skv)
+    bq, bk = _gqa_pick_bq(sq, g), _pick_block(skv)
     n_q, n_kv = sq // bq, skv // bk
     delta = jnp.sum(gout.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)
@@ -928,6 +931,39 @@ _flash_gqa.defvjp(_flash_gqa_vjp_fwd, _flash_gqa_vjp_bwd)
 # config, numerically identical losses.  KDSS_FLASH_GQA=0 opts out.
 _GQA_BATCH = os.environ.get("KDSS_FLASH_GQA", "1") == "1"
 
+# Packed-pair mode for d <= 64 heads (KDSS_FLASH_PACK2=0 opts out): the MXU
+# contracts over 128 rows, so a d=64 QK^T wastes half the array on zero
+# padding.  Packing TWO kv heads into the 128-lane dim — k/v lanes
+# [k_even | k_odd], q rows block-diagonal ([q_even | 0] for even-group
+# rows, [0 | q_odd] for odd) — makes every matmul in the existing kernels
+# compute both heads' exact scores/outputs in the cycles one padded head
+# used to take: QK^T contraction zeros select the right half, PV/dq fill
+# the otherwise-idle output lanes, and ds^T q / p^T do land dk/dv already
+# packed.  Pure layout change outside the custom_vjp (pad/stack/slice are
+# XLA ops, so autodiff unpacks all gradients); kernels are untouched.
+_PACK2 = os.environ.get("KDSS_FLASH_PACK2", "1") == "1"
+
+
+def _pack_pairs_q(q5, d):
+    """[B, HKV, G, S, d<=64] -> block-diagonal [B, HKV/2, 2G, S, 128]."""
+    b, hkv, g, s, _ = q5.shape
+    qe = jnp.pad(q5[:, 0::2], ((0, 0),) * 4 + ((0, 128 - d),))
+    qo = jnp.pad(q5[:, 1::2], ((0, 0),) * 4 + ((64, 64 - d),))
+    # [B, H2, 2, G, S, 128] -> merge (2, G); kernel rows cycle per bq so
+    # group order within the flattened axis is irrelevant
+    return jnp.stack([qe, qo], axis=2).reshape(b, hkv // 2, 2 * g, s, 128)
+
+
+def _pack_pairs_kv(x4, d):
+    """[B, HKV, S, d<=64] -> lane-concatenated [B, HKV/2, S, 128]."""
+    b, hkv, s, _ = x4.shape
+    xp = jnp.pad(x4, ((0, 0),) * 3 + ((0, 64 - d),))
+    return (
+        xp.reshape(b, hkv // 2, 2, s, 64)
+        .swapaxes(2, 3)
+        .reshape(b, hkv // 2, s, 128)
+    )
+
 
 def flash_attention_gqa(
     q: jnp.ndarray,
@@ -958,10 +994,16 @@ def flash_attention_gqa(
     qt = jnp.swapaxes(q, 1, 2).reshape(b, hkv, group, sq, d)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
-    qt = _pad_axis(qt, 128, 4)
-    kt = _pad_axis(kt, 128, 3)
-    vt = _pad_axis(vt, 128, 3)
-    bq, bk = _gqa_pick_bq(sq), _pick_block(skv)
+    packed = _PACK2 and d <= 64 and hkv % 2 == 0
+    if packed:
+        qt = _pack_pairs_q(qt, d)    # [B, HKV/2, 2G, S, 128]
+        kt = _pack_pairs_kv(kt, d)   # [B, HKV/2, S, 128]
+        vt = _pack_pairs_kv(vt, d)
+    else:
+        qt = _pad_axis(qt, 128, 4)
+        kt = _pad_axis(kt, 128, 3)
+        vt = _pad_axis(vt, 128, 3)
+    bq, bk = _gqa_pick_bq(sq, qt.shape[2]), _pick_block(skv)
     qt = _pad_axis(qt, bq, 3)
     kt = _pad_axis(kt, bk, 2)
     vt = _pad_axis(vt, bk, 2)
@@ -971,5 +1013,13 @@ def flash_attention_gqa(
         kv_mask = _pad_axis(kv_mask, kt.shape[2], 1)
 
     out = _flash_gqa(qt, kt, vt, kv_mask, causal, scale)
-    out = out[:, :, :, :sq, :d].reshape(b, hq, sq, d)
+    if packed:
+        # [B, H2, (2, G), S, 128]: even groups live in lanes 0:d, odd in
+        # 64:64+d; (h2, parity, g) row-major == original head order
+        o = out[:, :, :, :sq, :].reshape(b, hkv // 2, 2, group, sq, 128)
+        out = jnp.stack(
+            [o[:, :, 0, :, :, :d], o[:, :, 1, :, :, 64:64 + d]], axis=2
+        ).reshape(b, hq, sq, d)
+    else:
+        out = out[:, :, :, :sq, :d].reshape(b, hq, sq, d)
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)

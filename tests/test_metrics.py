@@ -80,3 +80,28 @@ def test_num2words_parity_samples():
     assert digits_to_words("I see 2 chairs and 1 table") == (
         "I see two chairs and one table"
     )
+
+
+def test_hashed_similarity_structure():
+    """The offline neural-similarity backend (hashed char-n-gram cosine):
+    identity -> 1.0, inflectional variants high, disjoint words low
+    (documented deviation bound in eval/metrics.py)."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.eval.metrics import (
+        hashed_similarity,
+        metrics_backend,
+        neural_similarity_metric,
+    )
+
+    assert abs(hashed_similarity("chair", "chair") - 1.0) < 1e-6
+    infl = hashed_similarity("chair", "chairs")
+    disj = hashed_similarity("chair", "window")
+    assert infl > 0.5 and disj < 0.4 and infl > disj
+    # deterministic across processes (CRC32, not PYTHONHASHSEED)
+    assert hashed_similarity("table", "tables") == hashed_similarity(
+        "table", "tables"
+    )
+    # metric wrapper uses it when spaCy is absent
+    m = neural_similarity_metric(["chair"], ["chair"])
+    assert abs(m - 1.0) < 1e-6
+    assert metrics_backend() in ("spacy", "hashed-chargram-cosine")
+    assert neural_similarity_metric([""], ["chair"]) == 0.0
