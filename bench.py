@@ -44,6 +44,11 @@ import time
 
 REF_A100_SAMPLES_PER_SEC = 1.6  # documented estimate, see module docstring
 
+# Raised scoped-VMEM limit for the big-block Pallas kernels (not a legal
+# XLA_FLAGS entry on the client; passed per-compile via jit compiler
+# options, which the axon terminal forwards).
+SCOPED_VMEM_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "98304"}
+
 
 def _flops_per_sample(params, seq_len: int, n_tiles: int, t_per_tile: int) -> float:
     """~Train FLOPs/sample: 6*P*T per subsystem (fwd 2PT, bwd 4PT)."""
@@ -200,7 +205,10 @@ def bench_train(args, mode: str) -> dict:
 
     tx = make_optimizer(sparams, 2e-5)
     state = TrainState.create(apply_fn=None, params=sparams, tx=tx)
-    step = jax.jit(make_train_step(models, cfg), donate_argnums=(0,))
+    step = jax.jit(
+        make_train_step(models, cfg), donate_argnums=(0,),
+        compiler_options=None if args.cpu else SCOPED_VMEM_OPTS,
+    )
 
     # Sync caveat: through the axon tunnel ``block_until_ready`` returns
     # before device completion; only a host fetch truly synchronizes.  Each
@@ -332,6 +340,16 @@ def main() -> None:
             os.environ.get("XLA_FLAGS", "")
             + " --xla_force_host_platform_device_count=1"
         )
+    else:
+        # Big kernel blocks: per-program dispatch (~2.7us) dominated the
+        # profiled r2 kernels at default blocks (722-program flash grids,
+        # 5.6k-program fused-CE backward grids).  The compiler's 16M
+        # scoped-VMEM default caps tile sizes; raise it per-compile (see
+        # SCOPED_VMEM_OPTS below) and grow the block budgets accordingly.
+        os.environ.setdefault("KDSS_FLASH_ROWS", "7168")
+        os.environ.setdefault("KDSS_FLASH_BK", "1024")
+        os.environ.setdefault("KDSS_FUSED_BN", "512")
+        os.environ.setdefault("KDSS_FUSED_BV", "2048")
     import jax
 
     if args.cpu:

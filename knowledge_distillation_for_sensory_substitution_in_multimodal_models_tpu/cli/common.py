@@ -72,6 +72,10 @@ def add_tpu_flags(p: argparse.ArgumentParser):
                    choices=["prewitt", "gray3", "prewitt_imagenet"])
     p.add_argument("--train_csv", type=str, default="train_dataset.csv")
     p.add_argument("--val_csv", type=str, default="val_dataset.csv")
+    # DAQUAR variant (reference `DAQUARDatasetOneVision.py` +
+    # `DAQUAROneVisionDataModule.py`: images/<n>.png + depth/<n>_depth.png)
+    p.add_argument("--dataset", type=str, default="sunrgbd",
+                   choices=["sunrgbd", "daquar"])
 
 
 def setup_platform(args) -> None:
@@ -227,3 +231,52 @@ def ensure_synthetic_dataset(root: str, n: int = 12, seed: int = 0) -> str:
     for split in ("train_dataset.csv", "val_dataset.csv", "test_dataset.csv"):
         df.to_csv(os.path.join(sun, "csv_data", split), index=False)
     return root
+
+
+def ensure_synthetic_daquar(root: str, n: int = 8, seed: int = 0) -> str:
+    """Tiny DAQUAR-layout tree: images/<name>.png + depth/<name>_depth.png
+    (`DAQUARDatasetOneVision.py:119-135`)."""
+    import pandas as pd
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h, w = [(48, 64), (40, 56)][i % 2]
+        name = f"image{i}"
+        Image.fromarray(
+            rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        ).save(os.path.join(root, "images", f"{name}.png"))
+        Image.fromarray(
+            rng.integers(0, 65535, (h, w)).astype(np.uint16)
+        ).save(os.path.join(root, "depth", f"{name}_depth.png"))
+        rows.append({
+            "Question_Id": i,
+            "Questions": f"what is in the image {i}?",
+            "Answers": ["chair", "table"][i % 2],
+            "Image_Path": f"{name}.png",
+            "Depth_Path": f"{name}_depth.png",
+        })
+    df = pd.DataFrame(rows)
+    for split in ("train_dataset.csv", "val_dataset.csv", "test_dataset.csv"):
+        df.to_csv(os.path.join(root, split), index=False)
+    return root
+
+
+def make_datasets(args, root):
+    """(train_ds, val_ds) for --dataset sunrgbd|daquar."""
+    from ..data.dataset import DAQUARVQADataset, SUNRGBDVQADataset
+
+    if args.dataset == "daquar":
+        return (
+            DAQUARVQADataset(root, args.train_csv, args.subset_percentage),
+            DAQUARVQADataset(root, args.val_csv, args.subset_percentage),
+        )
+    return (
+        SUNRGBDVQADataset(root, args.train_csv, args.subset_percentage,
+                          depth_encoding=args.depth_encoding),
+        SUNRGBDVQADataset(root, args.val_csv, args.subset_percentage,
+                          depth_encoding=args.depth_encoding),
+    )

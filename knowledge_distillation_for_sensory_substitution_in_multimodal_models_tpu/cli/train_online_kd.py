@@ -50,7 +50,6 @@ def main(argv=None):
 
     from ..configs import TrainConfig, kd_loss_config_for
     from ..data.collate import OneVisionCollator
-    from ..data.dataset import SUNRGBDVQADataset
     from ..data.loader import OneVisionLoader
     from ..models import LlavaOnevision
     from ..parallel import shard_params
@@ -61,9 +60,10 @@ def main(argv=None):
 
     root = args.root_data_dir or os.environ.get("ROOT_DATA_DIR")
     if args.synthetic_data:
-        root = common.ensure_synthetic_dataset(
-            root or tempfile.mkdtemp(prefix="kdss_synth_")
-        )
+        root = root or tempfile.mkdtemp(prefix="kdss_synth_")
+        root = (common.ensure_synthetic_daquar(root)
+                if args.dataset == "daquar"
+                else common.ensure_synthetic_dataset(root))
     if not root:
         raise SystemExit("set ROOT_DATA_DIR (.env) or pass --root_data_dir / --synthetic_data")
 
@@ -78,10 +78,7 @@ def main(argv=None):
     tok = common.make_tokenizer(args, scfg)
     buckets = (256,) if (args.synthetic_data or args.tiny_model) else None
     collator_kw = dict(buckets=buckets) if buckets else {}
-    train_ds = SUNRGBDVQADataset(root, args.train_csv, args.subset_percentage,
-                                 depth_encoding=args.depth_encoding)
-    val_ds = SUNRGBDVQADataset(root, args.val_csv, args.subset_percentage,
-                               depth_encoding=args.depth_encoding)
+    train_ds, val_ds = common.make_datasets(args, root)
     train_loader = OneVisionLoader(
         train_ds, OneVisionCollator(scfg, tok, **collator_kw),
         batch_size=args.batch_size, accum=args.accumulate_grad_batches,

@@ -26,41 +26,42 @@ def make_grain_loader(
 ):
     """Returns an iterator of [A, B, ...] accumulation batches.
 
-    Bucketing note: grain's static batch transform cannot group by emitted
-    bucket, so this path pads every batch to the collator's LARGEST bucket
-    (single compiled shape) — simpler and grain-native; the custom loader
-    keeps per-bucket grouping.
+    Bucketing: each grain-side micro-batch is collated with the normal
+    per-batch bucket pick (longest sample -> smallest covering bucket),
+    then micro-batches are grouped by their emitted bucket before stacking
+    the accumulation axis — same shape discipline as
+    ``loader.OneVisionLoader`` (one compiled program per bucket, no
+    pad-to-largest throughput cliff).
     """
-    import copy
-
     import grain.python as grain
 
     from .collate import add_accum_axis
 
-    # Dedicated single-bucket collator copy: grain reads with multiple
-    # threads, so the fixed bucket must not be patched onto shared state.
-    fixed_collator = copy.copy(collator)
-    fixed_collator.buckets = (max(collator.buckets),)
-
-    def fixed(samples):
-        return fixed_collator(list(samples))
+    def collate(samples):
+        return collator(list(samples))
 
     ds = grain.MapDataset.source(dataset)
     if shuffle:
         ds = ds.seed(seed).shuffle()
     if num_epochs is not None and num_epochs > 1:
         ds = ds.repeat(num_epochs)
-    ds = ds.batch(batch_size, drop_remainder=True, batch_fn=fixed)
+    ds = ds.batch(batch_size, drop_remainder=True, batch_fn=collate)
     it = ds.to_iter_dataset(
         grain.ReadOptions(num_threads=read_threads, prefetch_buffer_size=2 * accum)
     )
 
     def batches() -> Iterator[dict]:
-        group = []
+        pending: dict = {}
         for micro in it:
-            group.append(micro)
-            if len(group) == accum:
-                yield add_accum_axis(group)
-                group = []
+            bucket = micro["student_input_ids"].shape[1]
+            pending.setdefault(bucket, []).append(micro)
+            if len(pending[bucket]) == accum:
+                yield add_accum_axis(pending.pop(bucket))
+        # flush leftovers (partial accumulation groups), largest first
+        for bucket in sorted(pending, reverse=True):
+            group = pending[bucket]
+            while len(group) < accum:  # repeat-pad to the static A axis
+                group.append(group[-1])
+            yield add_accum_axis(group)
 
     return batches()

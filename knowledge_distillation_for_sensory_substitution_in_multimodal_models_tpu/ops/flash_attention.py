@@ -770,11 +770,37 @@ def _gqa_dkv_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+# Per-program dispatch overhead on the sequential TPU grid is ~2.7 us
+# (profiled r2: 722-program fwd grids put flash at 140 ms/step, ~6x its
+# matmul speed-of-light), so blocks should be as big as VMEM allows:
+# minimize block COUNT first, padding waste second.
+_GQA_ROWS = int(os.environ.get("KDSS_FLASH_ROWS", "2048"))
+_GQA_BK = int(os.environ.get("KDSS_FLASH_BK", "512"))
+
+
+def _pick_block_big(s: int, target: int) -> int:
+    """Largest-block pick: fewest blocks, ties broken by least padding."""
+    if s <= 128:
+        return 128
+    best = None
+    for b in (1024, 768, 512, 384, 256, 128):
+        if b > target:
+            continue
+        n = -(-s // b)
+        key = (n, n * b)
+        if best is None or key < best[0]:
+            best = (key, b)
+    return best[1]
+
+
 def _gqa_pick_bq(s: int, g: int) -> int:
-    """Query block scaled so g*bq stays ~2048 rows: the VMEM stack (acc/m/l
-    scratch + q/o/lse blocks) grows with g*bq and exceeds the 16M scoped
-    limit at g=14, bq=256 (measured 19.02M with packed pairs)."""
-    return _pick_block(s, target=max(128, 2048 // max(g, 1)))
+    """Query block scaled so g*bq stays within the rows budget: the VMEM
+    stack (acc/m/l scratch + q/o/lse blocks) grows with g*bq; the default
+    budget (2048 rows ~ 11M stack) fits the compiler's default 16M scoped
+    limit (g=14 x bq=256 measured 19.02M).  bench.py raises the scoped
+    limit via --xla_tpu_scoped_vmem_limit_kib and sets KDSS_FLASH_ROWS
+    higher to shrink the grid."""
+    return _pick_block_big(s, target=max(128, _GQA_ROWS // max(g, 1)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -807,7 +833,7 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale):
     # q [B, HKV, G, S, D]; k/v [B, HKV, S, D]
     b, hkv, g, sq, d = q.shape
     skv = k.shape[2]
-    bq, bk = _gqa_pick_bq(sq, g), _pick_block(skv)
+    bq, bk = _gqa_pick_bq(sq, g), _pick_block_big(skv, _GQA_BK)
     n_q, n_kv = sq // bq, skv // bk
     qspec, kspec, mspec = _gqa_specs(b, hkv, g, bq, bk, d, kv_mask)
     lspec = pl.BlockSpec((1, 1, g, bq, 128),
@@ -854,7 +880,7 @@ def _flash_gqa_vjp_bwd(causal, scale, res, gout):
     lse = jnp.broadcast_to(lse_slim, (*lse_slim.shape[:-1], 128))
     b, hkv, g, sq, d = q.shape
     skv = k.shape[2]
-    bq, bk = _gqa_pick_bq(sq, g), _pick_block(skv)
+    bq, bk = _gqa_pick_bq(sq, g), _pick_block_big(skv, _GQA_BK)
     n_q, n_kv = sq // bq, skv // bk
     delta = jnp.sum(gout.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)
@@ -1003,7 +1029,7 @@ def flash_attention_gqa(
         qt = _pad_axis(qt, 128, 4)
         kt = _pad_axis(kt, 128, 3)
         vt = _pad_axis(vt, 128, 3)
-    bq, bk = _gqa_pick_bq(sq, qt.shape[2]), _pick_block(skv)
+    bq, bk = _gqa_pick_bq(sq, qt.shape[2]), _pick_block_big(skv, _GQA_BK)
     qt = _pad_axis(qt, bq, 3)
     kt = _pad_axis(kt, bk, 2)
     vt = _pad_axis(vt, bk, 2)

@@ -147,7 +147,15 @@ def _pad_to(x, mult, axis, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-BN, BV = 256, 512
+# Row/vocab block sizes.  Profiled r2: at (256, 512) the dh/dw backward
+# grids hit ~5.6k programs each (~2.7us dispatch floor per program on the
+# sequential TPU grid) — over half their runtime.  bench.py raises these
+# (with --xla_tpu_scoped_vmem_limit_kib) to shrink the grid; defaults stay
+# within the compiler's 16M scoped-VMEM default.
+import os as _os
+
+BN = int(_os.environ.get("KDSS_FUSED_BN", "256"))
+BV = int(_os.environ.get("KDSS_FUSED_BV", "512"))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -200,3 +200,37 @@ def test_loader_to_train_step(sunrgbd_root):
     step = jax.jit(make_train_step(KDModels(student, teacher), cfg))
     _, metrics = step(state, tparams, jb)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_daquar_dataset_and_cli(tmp_path):
+    """DAQUAR variant: path scheme + end-to-end train CLI drive
+    (`DAQUARDatasetOneVision.py:119-135`, VERDICT r1 #9)."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.cli.common import (
+        ensure_synthetic_daquar,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.dataset import (
+        DAQUARVQADataset,
+    )
+
+    root = ensure_synthetic_daquar(str(tmp_path))
+    ds = DAQUARVQADataset(root, "train_dataset.csv")
+    assert len(ds) == 8
+    rgb_p, depth_p = ds.image_paths(0)
+    assert rgb_p.endswith("images/image0.png")
+    assert depth_p.endswith("depth/image0_depth.png")
+    q, a, rgb, depth3, idx = ds[0]
+    assert rgb.ndim == 3 and depth3.shape == rgb.shape[:2] + (3,)
+    assert depth3.dtype == np.uint8
+
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.cli.train import (
+        main as train_main,
+    )
+
+    train_main([
+        "--synthetic_data", "--cpu", "--dataset", "daquar",
+        "--batch_size", "1", "--max_epochs", "1",
+        "--subset_percentage", "0.25", "--accumulate_grad_batches", "2",
+        "--root_data_dir", str(tmp_path / "cli_root"),
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--tensorboard_dir", str(tmp_path / "tb"),
+    ])

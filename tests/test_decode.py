@@ -20,8 +20,11 @@ from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.mo
     LlavaOnevision,
 )
 from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.utils.synthetic import (
+
     synthetic_kd_batch,
 )
+
+pytestmark = pytest.mark.slow
 
 CFG = llava_onevision_tiny()
 N_NEW = 6

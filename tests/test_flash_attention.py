@@ -125,8 +125,11 @@ def test_flash_grads_match_xla():
 # ---------------------------------------------------------------------------
 
 from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.flash_attention import (  # noqa: E402
+
     flash_attention_gqa,
 )
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.mark.parametrize("b,sq,skv,hq,hkv,d,causal,masked", CASES)

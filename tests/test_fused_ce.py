@@ -8,8 +8,11 @@ import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
 from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_ce import (
+
     fused_ce_loss,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def _ref_ce(hidden, w, labels):

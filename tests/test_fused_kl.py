@@ -11,8 +11,11 @@ from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.lo
     kd_kl_loss,
 )
 from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_kl import (
+
     fused_kl_loss,
 )
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.mark.parametrize("n,ds,dt,v,vt,temp", [

@@ -11,8 +11,11 @@ from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.lo
     loca_loss,
 )
 from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_loca import (
+
     fused_loca_loss,
 )
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.mark.parametrize("n,ds,dt,v,vt,temp,alpha", [

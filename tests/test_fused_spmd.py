@@ -52,9 +52,11 @@ from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ut
     synthetic_kd_batch,
 )
 
-pytestmark = pytest.mark.skipif(
-    jax.device_count() < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(jax.device_count() < 8,
+                       reason="needs 8 virtual devices"),
+]
 
 N, DS, DT, V, VT = 24, 16, 24, 40, 48
 

@@ -21,11 +21,14 @@ from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.mo
     convert_hf_state_dict,
 )
 from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.anyres import (
+
     build_pack_spec,
     num_image_tokens,
     num_tiles,
     stack_pack_specs,
 )
+
+pytestmark = pytest.mark.slow
 
 CFG = llava_onevision_tiny()
 

@@ -11,11 +11,14 @@ import jax.numpy as jnp
 import optax
 
 from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.models.panesar import (
+
     ImageEncoder,
     PanesarVQAModel,
     VGG16_CFG,
     convert_vgg16_state_dict,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def _torch_vgg16_encoder():

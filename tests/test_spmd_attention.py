@@ -20,9 +20,11 @@ from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.pa
     make_mesh,
 )
 
-pytestmark = pytest.mark.skipif(
-    jax.device_count() < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(jax.device_count() < 8,
+                       reason="needs 8 virtual devices"),
+]
 
 
 def _data(B=4, S=128, HQ=4, HKV=2, D=64):

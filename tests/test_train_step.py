@@ -28,8 +28,11 @@ from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.tr
     phase_trainable_mask,
 )
 from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.utils.synthetic import (
+
     synthetic_kd_batch,
 )
+
+pytestmark = pytest.mark.slow
 
 SCFG = llava_onevision_tiny()
 TCFG = llava_onevision_tiny_teacher()
