@@ -234,3 +234,36 @@ def test_daquar_dataset_and_cli(tmp_path):
         "--checkpoint_dir", str(tmp_path / "ckpt"),
         "--tensorboard_dir", str(tmp_path / "tb"),
     ])
+
+
+def test_legacy_loaders(tmp_path):
+    """Florence-era augmented loader + working BERT dataset rebuild
+    (reference's is import-broken, `CustomDataset.py:21`)."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.cli.common import (
+        ensure_synthetic_dataset,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.legacy import (
+        BertVQADataset,
+        FlorenceSUNRGBDDataset,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.tokenization import (
+        HashTokenizer,
+    )
+
+    root = ensure_synthetic_dataset(str(tmp_path))
+    ds = FlorenceSUNRGBDDataset(root, "train_dataset.csv", seed=0)
+    q, a, rgb, depth3, _ = ds[0]
+    # augmented RGB is ImageNet-normalized float; depth stays uint8 x3
+    assert rgb.dtype == np.float32 and rgb.ndim == 3
+    assert depth3.dtype == np.uint8 and depth3.shape[-1] == 3
+    # no augmentation -> raw uint8 passthrough
+    ds_plain = FlorenceSUNRGBDDataset(root, "train_dataset.csv",
+                                      augmentation=False)
+    _, _, rgb_p, _, _ = ds_plain[0]
+    assert rgb_p.dtype == np.uint8
+
+    tok = HashTokenizer()
+    bds = BertVQADataset(root, "train_dataset.csv", tok, max_len=16)
+    q_ids, a_ids, rgb2, _, _ = bds[0]
+    assert q_ids.shape == (16,) and q_ids.dtype == np.int32
+    assert a_ids.shape == (16,)
