@@ -10,24 +10,27 @@ step and greedy generation as extra fields:
 
 Modes:
   * ``baseline_depth`` — 0.5B OneVision student, depth stream, masked-CE
-    train step on realistic SUNRGBD anyres shapes (S=4864).
+    train step on realistic SUNRGBD anyres shapes (530x730 -> 5 tiles,
+    2936 real tokens, bucket S=3072).
   * ``kd`` — double-trouble PHASE 1 (KL + tile NT-Xent) with a ~1.2B
     width-scaled stand-in teacher: the largest KD config that fits one
     16 GB chip.  Phases 2/3 with the real 7B teacher are structurally
-    multi-chip (teacher fwd + student train at S=4864 is ~18 GB); their
+    multi-chip (teacher fwd + student train did not fit 16 GB at the
+    round-1 S=4864 shape; retry at S=3072 pending); their
     sharded program is validated by ``__graft_entry__.dryrun_multichip``
     and tests/test_fused_spmd.py.
   * ``generation`` — jit KV-cache greedy decode (flash-kernel prefill),
-    32 new tokens on a ~5k-token prompt, reference decode config
+    32 new tokens on a ~3k-token anyres prompt, reference decode config
     (`evaluation/onevisionv3/evaluate_onevision.py:186-195`).
 
 ``vs_baseline`` compares against an estimated reference throughput: the
-reference publishes no speed numbers (SURVEY.md §6), so we use a
-FLOPs-derived estimate of its PyTorch-Lightning fp16 single-A100 step:
-~3.0e13 train FLOPs/sample at 15% MFU of 312 TFLOP/s => ~1.6 samples/s
-(batch-size-1 eager Lightning+HF rarely exceeds 10-20% MFU; at an
-optimistic 40% MFU the reference would be ~4.2 samples/s — divide
-``vs_baseline`` by 2.6 for that reading).
+reference publishes no speed numbers (SURVEY.md §6), so we estimate its
+PyTorch-Lightning fp16 single-A100 step on the SAME workload we measure:
+per-sample model FLOPs (computed from the run's own params/shapes) at 15%
+MFU of 312 TFLOP/s (batch-size-1 eager Lightning+HF rarely exceeds 10-20%
+MFU; at an optimistic 40% MFU divide ``vs_baseline`` by 2.6).  The
+estimate is recomputed per run so workload-shape fixes can't skew the
+ratio.
 
 Usage:
   python bench.py                       # full suite on the real chip
@@ -120,18 +123,20 @@ def _configs(args):
             seq_len=96, orig=(45, 67), chunk=32, dtype=jnp.float32,
             attn_impl="xla",
         )
-    # SUNRGBD NYU-Kinect frames are 530x730: 2x3 anyres grid, 7 tiles,
-    # 4833 packed image tokens (+ text) -> static bucket 4864.  The
-    # static tile budget is trimmed to 8 (7 real + 1 spare) — the
-    # default 10 wastes 30% of vision compute/memory on padding here.
-    scfg = dataclasses.replace(llava_onevision_0_5b(), max_tiles=8)
+    # SUNRGBD NYU-Kinect frames are 530x730: anyres best-fit is (768,768)
+    # (verified against HF's select_best_resolution) = 2x2 grid + base =
+    # 5 tiles, 2929 packed image tokens + QA text = 2936 real tokens ->
+    # the production loader buckets this at 3072.  (Round 1 benched
+    # S=4864 / 8 tiles from a miscount — 40% of that workload was
+    # padding; docs/PERF_NOTES.md keeps both series.)
+    scfg = dataclasses.replace(llava_onevision_0_5b(), max_tiles=5)
     # Single-chip KD bench teacher scaled to ~1.2B so teacher fwd +
     # student train fit one 16GB chip (the real 7B teacher is a
     # multi-chip tensor-parallel config; see dryrun_multichip).
     base = llava_onevision_0_5b()
     tcfg = dataclasses.replace(
         base,
-        max_tiles=8,
+        max_tiles=5,
         text=dataclasses.replace(
             base.text, hidden_size=1536, intermediate_size=4096,
             num_attention_heads=12, num_key_value_heads=2,
@@ -139,7 +144,7 @@ def _configs(args):
         ),
     )
     return dict(
-        scfg=scfg, tcfg=tcfg, seq_len=4864, orig=(530, 730), chunk=256,
+        scfg=scfg, tcfg=tcfg, seq_len=3072, orig=(530, 730), chunk=256,
         dtype=jnp.bfloat16, attn_impl="pallas",
     )
 
@@ -189,7 +194,7 @@ def bench_train(args, mode: str) -> dict:
         # Single-chip KD bench runs double-trouble PHASE 1 (see module
         # docstring; phases 2/3 are the multi-chip configuration).
         cfg = TrainConfig(
-            kd_mode="double_trouble", phase=1,
+            kd_mode="double_trouble", phase=args.kd_phase,
             loss=kd_loss_config_for("double_trouble"),
             loss_chunk_size=chunk if args.cpu else 128,
             ce_impl="chunked" if args.cpu else "fused",
@@ -250,10 +255,19 @@ def bench_train(args, mode: str) -> dict:
         state.params, seq_len, min(nt, scfg.max_tiles),
         scfg.vision.tokens_per_patch,
     )
+    if mode == "kd" and tparams is not None:
+        # teacher runs forward-only in the same step: +2*P_t*T per sample
+        fl += _flops_per_sample(tparams, seq_len, min(nt, scfg.max_tiles),
+                                scfg.vision.tokens_per_patch) / 3.0
     tflops = samples_per_sec * fl / 1e12
+    # Reference estimate computed from the SAME workload we measured:
+    # eager Lightning+HF fp16 at ~15% MFU of an A100's 312 TFLOP/s
+    # (module docstring).  Self-consistent across workload-shape fixes.
+    ref_est = 0.15 * 312e12 / fl
     print(
         f"[{mode}] {samples_per_sec:.3f} samples/s, ~{tflops:.1f} TFLOP/s "
-        f"(model-FLOPs, excl. remat recompute), loss={losses[-1]:.4f}",
+        f"(model-FLOPs, excl. remat recompute), ref-est {ref_est:.2f} "
+        f"samples/s, loss={losses[-1]:.4f}",
         file=sys.stderr,
     )
     return {
@@ -261,6 +275,7 @@ def bench_train(args, mode: str) -> dict:
         "seq_len": seq_len,
         "batch": args.batch,
         "model_tflops_per_sec": round(tflops, 1),
+        "ref_est_samples_per_sec": round(ref_est, 3),
     }
 
 
@@ -328,6 +343,10 @@ def main() -> None:
                     choices=["all", "baseline_depth", "kd", "generation"],
                     default="all")
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--kd_phase", type=int, default=1, choices=[1, 2, 3],
+                    help="double-trouble phase for --mode kd (phase 1 is "
+                    "the shipped single-chip default; 2/3 need the fused "
+                    "LoCa path and more HBM)")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="capture a jax.profiler trace of the timed steps")
@@ -365,7 +384,7 @@ def main() -> None:
 
     model_tag = "tiny-cpu-smoke" if args.cpu else "0.5B student"
     if "kd" in results:
-        head, label = results["kd"], "kd_double_trouble_p1"
+        head, label = results["kd"], f"kd_double_trouble_p{args.kd_phase}"
         teacher_tag = "tiny teacher" if args.cpu else "1.2B teacher"
         detail = f"{teacher_tag}, S={head['seq_len']}, B={head['batch']}"
     elif "baseline_depth" in results:
@@ -395,8 +414,11 @@ def main() -> None:
         "value": head["samples_per_sec"],
         "unit": "samples/s",
         "vs_baseline": round(
-            head["samples_per_sec"] / REF_A100_SAMPLES_PER_SEC, 4
+            head["samples_per_sec"]
+            / head.get("ref_est_samples_per_sec", REF_A100_SAMPLES_PER_SEC),
+            4,
         ),
+        "ref_est_samples_per_sec": head.get("ref_est_samples_per_sec"),
         "extras": extras,
     }))
 

@@ -33,7 +33,7 @@ IGNORE_INDEX = -100
 
 # Default sequence buckets: 729-token base + up to 9x729 anyres grid +
 # newlines + short QA text. Chosen as multiples of 128 covering SUNRGBD
-# (530x730 -> ~4843 tokens) up to the anyres_max_9 worst case.
+# (530x730 -> 2936 tokens in the 3072 bucket) up to the anyres worst case.
 DEFAULT_BUCKETS = (1024, 2048, 3072, 4096, 5120, 6144, 7552)
 
 

@@ -622,6 +622,49 @@ def _gqa_mask(s, *, causal, iq, ik, g, bq, bk, kv_mask_blk):
     return s
 
 
+def _and(a, b):
+    """AND of predicates where either side may be python True."""
+    if a is True:
+        return b
+    if b is True:
+        return a
+    return jnp.logical_and(a, b)
+
+
+def _gqa_dispatch(compute, *, causal, iq, ik, bq, bk, kvm_ref):
+    """Run ``compute(masked)`` once per visited block, the mask-free body
+    on interior blocks.
+
+    The masking selects are ~4 extra f32 VPU passes over every [rows, bk]
+    score block — the dominant kernel cost at long S (see
+    docs/PERF_NOTES.md round 2) — but only blocks crossing the causal
+    diagonal or containing masked kv positions need them.  kv cleanliness
+    is a cheap per-block reduction over the [bk] mask row.
+    """
+    if kvm_ref is not None:
+        # f32 reduction: Mosaic has no int8 reductions on TPU
+        kv_clean = jnp.min(kvm_ref[0, 0].astype(jnp.float32)) > 0
+    else:
+        kv_clean = True
+    if causal:
+        visited = iq * bq + bq - 1 >= ik * bk
+        interior = iq * bq >= (ik + 1) * bk  # fully below the diagonal
+    else:
+        visited, interior = True, True
+    clean = _and(interior, kv_clean)
+    if clean is True:
+        compute(False)
+        return
+
+    @pl.when(_and(visited, clean))
+    def _():
+        compute(False)
+
+    @pl.when(_and(visited, jnp.logical_not(clean)))
+    def _():
+        compute(True)
+
+
 def _gqa_fwd_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
                     acc_ref, m_ref, l_ref,
                     *, causal, scale, g, bq, bk, n_kv):
@@ -633,16 +676,17 @@ def _gqa_fwd_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
         m_ref[:] = jnp.full_like(m_ref, MASK_VALUE)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    def compute():
+    def compute(masked):
         q = q_ref[0, 0].reshape(g * bq, q_ref.shape[-1])
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
-        s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
-                      kv_mask_blk=kvm)
+        if masked:
+            kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+            s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
+                          kv_mask_blk=kvm)
         m_prev = m_ref[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -657,12 +701,8 @@ def _gqa_fwd_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
-    if causal:
-        @pl.when(iq * bq + bq - 1 >= ik * bk)
-        def _():
-            compute()
-    else:
-        compute()
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
 
     @pl.when(ik == n_kv - 1)
     def _():
@@ -683,7 +723,7 @@ def _gqa_dq_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def compute():
+    def compute(masked):
         d = q_ref.shape[-1]
         q = q_ref[0, 0].reshape(g * bq, d)
         k = k_ref[0, 0]
@@ -694,9 +734,10 @@ def _gqa_dq_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
-        s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
-                      kv_mask_blk=kvm)
+        if masked:
+            kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+            s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
+                          kv_mask_blk=kvm)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -706,12 +747,8 @@ def _gqa_dq_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    if causal:
-        @pl.when(iq * bq + bq - 1 >= ik * bk)
-        def _():
-            compute()
-    else:
-        compute()
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
 
     @pl.when(ik == n_kv - 1)
     def _():
@@ -729,7 +766,7 @@ def _gqa_dkv_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    def compute():
+    def compute(masked):
         d = q_ref.shape[-1]
         q = q_ref[0, 0].reshape(g * bq, d)
         k = k_ref[0, 0]
@@ -740,9 +777,10 @@ def _gqa_dkv_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
-        s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
-                      kv_mask_blk=kvm)
+        if masked:
+            kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+            s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
+                          kv_mask_blk=kvm)
         p = jnp.exp(s - lse)
         # p^T @ do sums over ALL group rows: the GQA dk/dv reduction is free
         dv_acc[:] += jax.lax.dot_general(
@@ -757,12 +795,8 @@ def _gqa_dkv_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    if causal:
-        @pl.when(iq * bq + bq - 1 >= ik * bk)
-        def _():
-            compute()
-    else:
-        compute()
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
 
     @pl.when(iq == n_q - 1)
     def _():
