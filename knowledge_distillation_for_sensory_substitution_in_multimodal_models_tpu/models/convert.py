@@ -37,6 +37,8 @@ def _normalize_key(k: str) -> str:
     """Map every known HF key scheme to the canonical new-style scheme."""
     k = re.sub(r"^model\.", "", k)
     k = k.replace("language_model.model.", "language_model.")
+    # legacy serialization nests the head under the LM wrapper
+    k = k.replace("language_model.lm_head.", "lm_head.")
     return k
 
 
