@@ -78,12 +78,30 @@ def add_tpu_flags(p: argparse.ArgumentParser):
                    choices=["sunrgbd", "daquar"])
 
 
+# Raised scoped-VMEM limit for the big-block Pallas kernels (TPU-compiler
+# flag: NOT legal in client XLA_FLAGS; must go through jit
+# compiler_options, which the runtime forwards per-compile).
+SCOPED_VMEM_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "98304"}
+
+
+def tpu_compiler_options(args):
+    """compiler_options for train-step jits (None on CPU)."""
+    return None if getattr(args, "cpu", False) else dict(SCOPED_VMEM_OPTS)
+
+
 def setup_platform(args) -> None:
     if args.cpu:
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + " --xla_force_host_platform_device_count=8"
         )
+    else:
+        # big-block kernel budgets (docs/PERF_NOTES.md round 2); paired
+        # with the raised scoped-VMEM limit in tpu_compiler_options()
+        os.environ.setdefault("KDSS_FLASH_ROWS", "7168")
+        os.environ.setdefault("KDSS_FLASH_BK", "1024")
+        os.environ.setdefault("KDSS_FUSED_BN", "512")
+        os.environ.setdefault("KDSS_FUSED_BV", "2048")
     import jax
 
     if args.cpu:

@@ -144,6 +144,7 @@ def main(argv=None):
                 run_name=f"baseline_{args.pixel_stream}",
                 shard_batch_fn=lambda b: shard_batch(b, mesh),
                 profile_dir=args.profile_dir,
+                compiler_options=common.tpu_compiler_options(args),
             )
     else:
         run_training(
@@ -152,6 +153,7 @@ def main(argv=None):
             tb_logdir=args.tensorboard_dir,
             run_name=f"baseline_{args.pixel_stream}",
             profile_dir=args.profile_dir,
+                compiler_options=common.tpu_compiler_options(args),
         )
     print("training complete")
 

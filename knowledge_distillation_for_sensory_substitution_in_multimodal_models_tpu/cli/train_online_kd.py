@@ -182,6 +182,7 @@ def main(argv=None):
             ckpt_dir=ckpt_dir, tb_logdir=args.tensorboard_dir,
             run_name=run_name, shard_batch_fn=put,
             profile_dir=args.profile_dir,
+                compiler_options=common.tpu_compiler_options(args),
         )
     print("training complete")
 

@@ -58,14 +58,19 @@ def run_training(
     shard_batch_fn: Optional[Callable] = None,
     log_every: int = 10,
     profile_dir: Optional[str] = None,
+    compiler_options: Optional[dict] = None,
 ) -> TrainState:
     """Epoch loop; returns the final state.
 
     ``shard_batch_fn(batch) -> device batch`` handles host->mesh transfer;
-    defaults to jnp.asarray.
+    defaults to jnp.asarray.  ``compiler_options`` is forwarded to the
+    step jits (cli/common.py::tpu_compiler_options raises the scoped-VMEM
+    limit for the big-block Pallas kernels on TPU).
     """
-    train_step = jax.jit(make_train_step(models, cfg), donate_argnums=(0,))
-    eval_step = jax.jit(make_eval_step(models, cfg))
+    train_step = jax.jit(make_train_step(models, cfg), donate_argnums=(0,),
+                         compiler_options=compiler_options)
+    eval_step = jax.jit(make_eval_step(models, cfg),
+                        compiler_options=compiler_options)
     put = shard_batch_fn or (lambda b: jax.tree.map(jnp.asarray, b))
     tb = TBWriter(tb_logdir, run_name)
     ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
