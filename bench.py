@@ -235,13 +235,23 @@ def bench_train(args, mode: str) -> dict:
     profiling = getattr(args, "profile_dir", None)
     if profiling:
         jax.profiler.start_trace(profiling)
+    # Fetch pipelined one step behind: the per-step ~30 ms tunnel RTT
+    # then overlaps the next step's device work instead of stalling it
+    # (one trailing fetch still bounds the measurement by real device
+    # completion; per-step losses keep proving real execution).
     t0 = time.time()
     losses = []
+    pending = None
     for i in range(args.steps):
         state, metrics = step(state, tparams, batch)
-        losses.append(fetch(metrics))
-        print(f"  step {i}: loss={losses[-1]:.5f} cum={time.time()-t0:.2f}s",
-              file=sys.stderr)
+        if pending is not None:
+            losses.append(fetch(pending))
+            print(f"  step {i-1}: loss={losses[-1]:.5f} "
+                  f"cum={time.time()-t0:.2f}s", file=sys.stderr)
+        pending = metrics
+    losses.append(fetch(pending))
+    print(f"  step {args.steps-1}: loss={losses[-1]:.5f} "
+          f"cum={time.time()-t0:.2f}s", file=sys.stderr)
     dt = time.time() - t0
     if profiling:
         jax.profiler.stop_trace()
@@ -373,6 +383,13 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Persistent compilation cache: remote compiles through the axon
+        # tunnel take 5-10 min per program and are NOT cached across
+        # processes otherwise.
+        os.makedirs("/tmp/kdss_jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/kdss_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     results = {}
     if args.mode in ("all", "kd"):

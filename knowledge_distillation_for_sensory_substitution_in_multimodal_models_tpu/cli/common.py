@@ -106,6 +106,13 @@ def setup_platform(args) -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # Persistent compilation cache: remote compiles through the axon
+        # tunnel take minutes per program and are not cached across
+        # processes otherwise.
+        os.makedirs("/tmp/kdss_jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/kdss_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     if getattr(args, "distributed", False):
         # Multi-host TPU pods (SURVEY.md §5 "distributed comm backend"):
         # coordinator/process env comes from the TPU runtime; the mesh then
