@@ -69,3 +69,30 @@ def test_openai_depth_image_prep():
     im3 = Image.open(io.BytesIO(png3))
     assert im1.size == (40, 30) and im1.mode == "L"
     assert im3.size == (40, 30) and im3.mode == "RGB"
+
+
+def test_statistics_and_results_clis(tmp_path):
+    """Standalone statistics + aggregator CLIs (reference's
+    dataset_statistics scripts and get_all_results.py)."""
+    import pandas as pd
+
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.cli.dataset_statistics import (
+        main as stats_main,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.cli.get_all_results import (
+        main as results_main,
+    )
+
+    stats_main(["--synthetic_data", "--root_data_dir", str(tmp_path / "d"),
+                "--accuracy", "0.45", "--n", "200"])
+
+    preds = tmp_path / "preds"
+    preds.mkdir()
+    pd.DataFrame({
+        "Question_Id": [0, 1], "Questions": ["q0?", "q1?"],
+        "Question_Type": ["Count", "Color"], "Answers": ["two", "red"],
+        "Model_Answer": ["two", "blue"],
+    }).to_csv(preds / "results_val_demo.csv", index=False)
+    results_main(["--predictions_dir", str(preds)])
+    assert (preds / "summary" / "results_summary.csv").exists()
+    results_main(["--file", str(preds / "results_val_demo.csv"), "--bert"])
