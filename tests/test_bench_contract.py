@@ -1,0 +1,33 @@
+"""bench.py driver contract: one parseable JSON line with the required
+keys, on the CPU smoke config."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _run(args):
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--cpu", "--steps", "2", *args],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def test_bench_single_mode_json():
+    j = _run(["--mode", "baseline_depth"])
+    assert set(j) >= {"metric", "value", "unit", "vs_baseline"}
+    assert j["unit"] == "samples/s" and j["value"] > 0
+
+
+def test_bench_suite_json():
+    j = _run([])
+    assert j["metric"].startswith("kd_double_trouble_p1")
+    assert "baseline_depth_samples_per_sec" in j["extras"]
+    assert "generation_tok_per_sec" in j["extras"]
