@@ -43,6 +43,18 @@ class GenerateConfig:
     allowed_token_ids: Optional[tuple] = None
 
 
+def _tpu_compiler_options():
+    """Raised scoped-VMEM limit for the big-block flash kernels (the
+    compiler default 16M rejects their stacks; TPU-compiler flags are not
+    legal in client XLA_FLAGS, so they ride jit compiler_options)."""
+    try:
+        if jax.default_backend() != "cpu":
+            return {"xla_tpu_scoped_vmem_limit_kib": "98304"}
+    except Exception:
+        pass
+    return None
+
+
 def _apply_repetition_penalty(logits, presence, penalty):
     """HF RepetitionPenaltyLogitsProcessor: score/p if >0 else score*p for
     every token already present in the sequence."""
@@ -80,7 +92,9 @@ class Generator:
         self.model = model
         self.cfg = model_cfg
         self.gcfg = gen_cfg
-        self._jit_generate = jax.jit(self._generate)
+        self._jit_generate = jax.jit(
+            self._generate, compiler_options=_tpu_compiler_options()
+        )
 
     # ---- model wrappers -------------------------------------------------
     def _init_caches(self, b: int, total_len: int, dtype):
