@@ -28,6 +28,6 @@ def test_bench_single_mode_json():
 
 def test_bench_suite_json():
     j = _run([])
-    assert j["metric"].startswith("kd_double_trouble_p1")
+    assert j["metric"].startswith("kd_double_trouble_p")
     assert "baseline_depth_samples_per_sec" in j["extras"]
     assert "generation_tok_per_sec" in j["extras"]
