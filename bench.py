@@ -179,7 +179,10 @@ def bench_train(args, mode: str) -> dict:
     seq_len, orig, chunk, dtype = c["seq_len"], c["orig"], c["chunk"], c["dtype"]
     attn_impl = c["attn_impl"]
 
-    student = LlavaOnevision(scfg, dtype=dtype, remat=True, attn_impl=attn_impl)
+    remat = args.remat != "none"
+    remat_vision = args.remat == "full"
+    student = LlavaOnevision(scfg, dtype=dtype, remat=remat,
+                             remat_vision=remat_vision, attn_impl=attn_impl)
     batch = synthetic_kd_batch(
         scfg, batch_size=args.batch, seq_len=seq_len,
         orig_sizes=[orig] * args.batch, accum=1, seed=0,
@@ -189,7 +192,8 @@ def bench_train(args, mode: str) -> dict:
     sparams = _materialize(_shapes(student, micro, 0, "student"), 0, dtype)
 
     if mode == "kd":
-        teacher = LlavaOnevision(tcfg, dtype=dtype, remat=True,
+        teacher = LlavaOnevision(tcfg, dtype=dtype, remat=remat,
+                                 remat_vision=remat_vision,
                                  attn_impl=attn_impl)
         tparams = _materialize(_shapes(teacher, micro, 1, "teacher"), 1, dtype)
         # Single-chip KD bench runs double-trouble phase 3 by default
@@ -362,6 +366,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="capture a jax.profiler trace of the timed steps")
+    ap.add_argument("--remat", type=str, default="full",
+                    choices=["full", "lm", "none"],
+                    help="rematerialization A/B: full (both towers), lm "
+                    "(LM only), none")
     args = ap.parse_args()
 
     import os
