@@ -49,6 +49,9 @@ def add_tpu_flags(p: argparse.ArgumentParser):
     p.add_argument("--synthetic_data", action="store_true",
                    help="generate a tiny on-disk SUNRGBD tree + hash tokenizer "
                         "(no real dataset/weights needed)")
+    p.add_argument("--real_model", action="store_true",
+                   help="use the real 0.5B/7B configs even with "
+                        "--synthetic_data (real-scale TPU drives)")
     p.add_argument("--tiny_model", action="store_true",
                    help="tiny configs (CI/smoke); default with --synthetic_data")
     p.add_argument("--tokenizer_path", type=str, default=None)
@@ -59,7 +62,7 @@ def add_tpu_flags(p: argparse.ArgumentParser):
     p.add_argument("--mesh", type=str, default=None,
                    help="data,fsdp,tensor (default: all devices on tensor)")
     p.add_argument("--attn_impl", type=str, default=None,
-                   choices=["xla", "pallas"],
+                   choices=["xla", "pallas", "pallas_spmd", "xla_chunked"],
                    help="default: pallas on TPU, xla on CPU")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--tensorboard_dir", type=str, default="tensorboard_logs")
@@ -126,9 +129,13 @@ def resolve_attn_impl(args) -> str:
     import jax
 
     if len(jax.devices()) > 1:
-        # GSPMD cannot partition Pallas custom calls; multi-chip meshes use
-        # the XLA attention (partitioned einsums) until the kernels are
-        # shard_map-wrapped (future round).
+        # GSPMD cannot partition Pallas custom calls; multi-chip TPU
+        # meshes use the shard_map flash wrapper (batch over data/fsdp,
+        # heads over tensor — ops/flash_attention.py::flash_attention_spmd).
+        # Virtual CPU meshes fall back to XLA attention: interpret-mode
+        # Pallas hangs inside shard_map on the CPU backend.
+        if jax.devices()[0].platform == "tpu":
+            return "pallas_spmd"
         return "xla"
     return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
@@ -149,6 +156,13 @@ def build_mesh(args):
     return make_mesh(mc)
 
 
+def is_tiny(args) -> bool:
+    """Tiny-config mode: smoke/synthetic runs unless --real_model."""
+    return (args.synthetic_data or args.tiny_model) and not getattr(
+        args, "real_model", False
+    )
+
+
 def model_configs(args) -> Tuple:
     from ..configs import (
         llava_onevision_0_5b,
@@ -157,7 +171,7 @@ def model_configs(args) -> Tuple:
         llava_onevision_tiny_teacher,
     )
 
-    if args.synthetic_data or args.tiny_model:
+    if is_tiny(args):
         return llava_onevision_tiny(), llava_onevision_tiny_teacher()
     return llava_onevision_0_5b(), llava_onevision_7b()
 

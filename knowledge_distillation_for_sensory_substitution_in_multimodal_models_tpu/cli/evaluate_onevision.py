@@ -73,7 +73,7 @@ def main(argv=None):
     scfg, tcfg_full = common.model_configs(args)
     # --model_id selects which architecture to evaluate: the reference's
     # `results_*_7b.csv` runs evaluate the 7B model directly
-    if "7b" in args.model_id.lower() and not (args.synthetic_data or args.tiny_model):
+    if "7b" in args.model_id.lower() and not common.is_tiny(args):
         scfg = tcfg_full
     attn_impl = common.resolve_attn_impl(args)
     dtype = jnp.float32 if args.cpu else jnp.bfloat16
@@ -103,7 +103,7 @@ def main(argv=None):
         root, f"{args.gts_type}_dataset.csv", args.subset_percentage,
         depth_encoding=depth_encoding,
     )
-    buckets = (256,) if (args.synthetic_data or args.tiny_model) else None
+    buckets = (256,) if common.is_tiny(args) else None
     collator = OneVisionCollator(
         scfg, tok, eval_mode=True, **(dict(buckets=buckets) if buckets else {})
     )

@@ -118,7 +118,7 @@ def main(argv=None):
     else:
         from ..eval.runner import load_student_for_eval
 
-        tiny = bool(args.synthetic_data or args.tiny_model)
+        tiny = common.is_tiny(args)
         answer_fn = load_student_for_eval(
             args.student_ckpt_dir, args.tokenizer_path,
             tiny=tiny, cpu=args.cpu, max_new_tokens=args.max_new_tokens,

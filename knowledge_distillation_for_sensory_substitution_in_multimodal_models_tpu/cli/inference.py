@@ -68,7 +68,7 @@ def main(argv=None):
         depth_encoding="prewitt_imagenet",
     )
     sample = ds[args.row]
-    buckets = (256,) if (args.synthetic_data or args.tiny_model) else None
+    buckets = (256,) if common.is_tiny(args) else None
     collator = OneVisionCollator(
         scfg, tok, eval_mode=True, **(dict(buckets=buckets) if buckets else {})
     )

@@ -70,13 +70,13 @@ def main(argv=None):
     scfg, tcfg = common.model_configs(args)
     attn_impl = common.resolve_attn_impl(args)
     compute_dtype = jnp.float32 if args.cpu else jnp.bfloat16
-    remat = not (args.synthetic_data or args.tiny_model)
+    remat = not common.is_tiny(args)
 
     student = LlavaOnevision(scfg, dtype=compute_dtype, remat=remat, attn_impl=attn_impl)
     teacher = LlavaOnevision(tcfg, dtype=compute_dtype, remat=remat, attn_impl=attn_impl)
 
     tok = common.make_tokenizer(args, scfg)
-    buckets = (256,) if (args.synthetic_data or args.tiny_model) else None
+    buckets = (256,) if common.is_tiny(args) else None
     collator_kw = dict(buckets=buckets) if buckets else {}
     train_ds, val_ds = common.make_datasets(args, root)
     train_loader = OneVisionLoader(
@@ -106,13 +106,13 @@ def main(argv=None):
         accumulate_grad_batches=args.accumulate_grad_batches,
         learning_rate=args.learning_rate, kd_mode=args.kd_mode,
         phase=args.phase, loss=loss_cfg,
-        loss_chunk_size=32 if (args.synthetic_data or args.tiny_model) else 256,
+        loss_chunk_size=32 if common.is_tiny(args) else 256,
         # fused Pallas CE/KL kernels on single-chip TPU (15% step speedup
         # measured); chunked XLA path on CPU/tiny/multi-chip runs (GSPMD
         # cannot partition Pallas custom calls yet)
         ce_impl=(
             "fused"
-            if not (args.cpu or args.synthetic_data or args.tiny_model)
+            if not (args.cpu or common.is_tiny(args))
             and __import__("jax").device_count() == 1
             else "chunked"
         ),
