@@ -92,6 +92,18 @@ def tpu_compiler_options(args):
     return None if getattr(args, "cpu", False) else dict(SCOPED_VMEM_OPTS)
 
 
+def backend_compiler_options():
+    """Same, keyed off the active backend (for helpers without args)."""
+    import jax
+
+    try:
+        if jax.default_backend() != "cpu":
+            return dict(SCOPED_VMEM_OPTS)
+    except Exception:
+        pass
+    return None
+
+
 def setup_platform(args) -> None:
     if args.cpu:
         os.environ["XLA_FLAGS"] = (
@@ -222,19 +234,30 @@ def init_or_load_params(model, cfg, weights_path: Optional[str], seed: int,
 
     from ..utils.synthetic import synthetic_kd_batch
 
-    ex = batch_example or jax.tree.map(
-        jnp.asarray, synthetic_kd_batch(cfg, 1, 96, seed=seed)
+    ex = batch_example
+    if ex is None:
+        try:
+            ex = synthetic_kd_batch(cfg, 1, 96, seed=seed)
+        except ValueError:
+            # real-scale configs: the default init image needs ~1.3k tokens
+            ex = synthetic_kd_batch(cfg, 1, 2048, seed=seed)
+        ex = jax.tree.map(jnp.asarray, ex)
+    # jit the init: eager dispatch would run the flash pallas_calls
+    # through their implicit jit WITHOUT the raised scoped-VMEM limit
+    init = jax.jit(
+        lambda key: model.init(
+            key,
+            input_ids=ex["student_input_ids"],
+            attention_mask=ex["student_attention_mask"],
+            pixel_values=ex["student_pixel_values"],
+            pack_idx=ex["pack_idx"],
+            pack_weight=ex["pack_weight"],
+            pack_valid=ex["pack_valid"],
+            tile_valid=ex["tile_valid"],
+        )["params"],
+        compiler_options=backend_compiler_options(),
     )
-    return model.init(
-        jax.random.PRNGKey(seed),
-        input_ids=ex["student_input_ids"],
-        attention_mask=ex["student_attention_mask"],
-        pixel_values=ex["student_pixel_values"],
-        pack_idx=ex["pack_idx"],
-        pack_weight=ex["pack_weight"],
-        pack_valid=ex["pack_valid"],
-        tile_valid=ex["tile_valid"],
-    )["params"]
+    return init(jax.random.PRNGKey(seed))
 
 
 def ensure_synthetic_dataset(root: str, n: int = 12, seed: int = 0) -> str:
