@@ -194,8 +194,15 @@ def bench_train(args, mode: str) -> dict:
     if mode == "kd":
         teacher = LlavaOnevision(tcfg, dtype=dtype, remat=remat,
                                  remat_vision=remat_vision,
-                                 attn_impl=attn_impl)
-        tparams = _materialize(_shapes(teacher, micro, 1, "teacher"), 1, dtype)
+                                 attn_impl=attn_impl,
+                                 lm_quant=args.teacher_quant)
+        tparams = _materialize(_shapes(
+            LlavaOnevision(tcfg, dtype=dtype), micro, 1, "teacher"), 1, dtype)
+        if args.teacher_quant == "int8":
+            from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
+                quantize_lm_params_int8,
+            )
+            tparams = jax.jit(quantize_lm_params_int8)(tparams)
         # Single-chip KD bench runs double-trouble phase 3 by default
         # (--kd_phase; see module docstring).
         cfg = TrainConfig(
@@ -364,6 +371,11 @@ def main() -> None:
                     "the realistic S=3072 workload via the fused LoCa "
                     "kernels (measured r2; phase 1: 2.84 samples/s)")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--teacher_quant", choices=["none", "int8"],
+                    default="none",
+                    help="int8: w8a8 decoder-block matmuls for the frozen "
+                    "teacher (MXU int8 path measures ~1.6x bf16; halves "
+                    "teacher weight HBM) — see ops/int8.py")
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="capture a jax.profiler trace of the timed steps")
     ap.add_argument("--remat", type=str, default="full",
@@ -413,6 +425,8 @@ def main() -> None:
     if "kd" in results:
         head, label = results["kd"], f"kd_double_trouble_p{args.kd_phase}"
         teacher_tag = "tiny teacher" if args.cpu else "1.2B teacher"
+        if args.teacher_quant == "int8":
+            teacher_tag += " (int8)"
         detail = f"{teacher_tag}, S={head['seq_len']}, B={head['batch']}"
     elif "baseline_depth" in results:
         head, label = results["baseline_depth"], "baseline_depth"

@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--root_data_dir", type=str, default=None,
                    help="overrides ROOT_DATA_DIR from .env")
+    p.add_argument("--teacher_quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8: w8a8 decoder-block matmuls for the frozen "
+                   "teacher (2x-rate MXU int8 path + half the weight HBM; "
+                   "logit-fidelity tested in tests/test_int8.py)")
     p.add_argument("--loca_faithful_indexing", action="store_true",
                    help="replicate the reference's full-tensor LoCa fancy "
                         "indexing (SURVEY.md §2.5 #3) instead of the "
@@ -73,7 +78,8 @@ def main(argv=None):
     remat = not common.is_tiny(args)
 
     student = LlavaOnevision(scfg, dtype=compute_dtype, remat=remat, attn_impl=attn_impl)
-    teacher = LlavaOnevision(tcfg, dtype=compute_dtype, remat=remat, attn_impl=attn_impl)
+    teacher = LlavaOnevision(tcfg, dtype=compute_dtype, remat=remat, attn_impl=attn_impl,
+                             lm_quant=args.teacher_quant)
 
     tok = common.make_tokenizer(args, scfg)
     buckets = (256,) if common.is_tiny(args) else None
@@ -92,7 +98,15 @@ def main(argv=None):
     )
 
     sparams = common.init_or_load_params(student, scfg, args.student_weights, args.seed)
-    tparams = common.init_or_load_params(teacher, tcfg, args.teacher_weights, args.seed + 1)
+    # Teacher weights are loaded/initialized in bf16 and quantized once
+    # here — checkpoints stay quantization-agnostic.
+    bf16_teacher = (teacher if args.teacher_quant == "none"
+                    else LlavaOnevision(tcfg, dtype=compute_dtype))
+    tparams = common.init_or_load_params(bf16_teacher, tcfg, args.teacher_weights, args.seed + 1)
+    if args.teacher_quant == "int8":
+        from ..ops.int8 import quantize_lm_params_int8
+
+        tparams = jax.jit(quantize_lm_params_int8)(tparams)
 
     loss_cfg = kd_loss_config_for(args.kd_mode)
     if args.loca_faithful_indexing:

@@ -63,6 +63,10 @@ class LlavaOnevision(nn.Module):
     remat: bool = False
     remat_vision: bool = True
     attn_impl: str = "xla"  # "pallas" = flash-attention kernels
+    # "int8": w8a8 LM decoder-block projections (frozen-teacher inference
+    # path; params via ops.int8.quantize_lm_params_int8).  Vision tower,
+    # projector, embeddings and lm-head stay bf16 — see ops/int8.py.
+    lm_quant: str = "none"
 
     def setup(self):
         c = self.cfg
@@ -78,7 +82,7 @@ class LlavaOnevision(nn.Module):
         )
         self.language_model = Qwen2LM(
             c.text, self.dtype, remat=self.remat, attn_impl=self.attn_impl,
-            name="language_model"
+            quant=self.lm_quant, name="language_model"
         )
 
     def encode_images(self, pixel_values: jnp.ndarray):

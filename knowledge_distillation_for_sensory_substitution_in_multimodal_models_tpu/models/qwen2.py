@@ -20,6 +20,37 @@ import jax.numpy as jnp
 
 from ..configs import Qwen2Config
 from ..ops.attention import dot_product_attention
+from ..ops.int8 import int8_matmul
+
+
+class QDense(nn.Module):
+    """Int8 (w8a8) drop-in for ``nn.Dense`` on the frozen-teacher path.
+
+    Declares ``kernel_q`` (int8) + ``kernel_scale`` (f32/out-channel) in
+    place of ``kernel``; populate with ``ops.int8.quantize_lm_params_int8``
+    over a bf16 tree.  See ops/int8.py for the scheme and scope.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        wq = self.param(
+            "kernel_q", nn.initializers.zeros, (in_features, self.features),
+            jnp.int8,
+        )
+        ws = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,),
+            jnp.float32,
+        )
+        y = int8_matmul(x, wq, ws, out_dtype=self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
 
 
 class RMSNorm(nn.Module):
@@ -59,6 +90,7 @@ class Qwen2Attention(nn.Module):
     cfg: Qwen2Config
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: str = "none"  # "int8": w8a8 block projections (frozen teacher)
 
     @nn.compact
     def __call__(
@@ -73,12 +105,13 @@ class Qwen2Attention(nn.Module):
         c = self.cfg
         b, s, _ = x.shape
         hd = c.head_dim
-        q = nn.Dense(c.num_attention_heads * hd, use_bias=c.attention_bias,
-                     dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(c.num_key_value_heads * hd, use_bias=c.attention_bias,
-                     dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(c.num_key_value_heads * hd, use_bias=c.attention_bias,
-                     dtype=self.dtype, name="v_proj")(x)
+        dense = QDense if self.quant == "int8" else nn.Dense
+        q = dense(c.num_attention_heads * hd, use_bias=c.attention_bias,
+                  dtype=self.dtype, name="q_proj")(x)
+        k = dense(c.num_key_value_heads * hd, use_bias=c.attention_bias,
+                  dtype=self.dtype, name="k_proj")(x)
+        v = dense(c.num_key_value_heads * hd, use_bias=c.attention_bias,
+                  dtype=self.dtype, name="v_proj")(x)
         q = q.reshape(b, s, c.num_attention_heads, hd)
         k = k.reshape(b, s, c.num_key_value_heads, hd)
         v = v.reshape(b, s, c.num_key_value_heads, hd)
@@ -127,40 +160,45 @@ class Qwen2Attention(nn.Module):
             out = dot_product_attention(q, k, v, mask=mask, causal=True, impl=impl)
 
         out = out.reshape(b, s, c.num_attention_heads * hd)
-        out = nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
-                       name="o_proj")(out)
+        out = dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                    name="o_proj")(out)
         return out, new_cache
 
 
 class Qwen2MLP(nn.Module):
     cfg: Qwen2Config
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
-        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
-                        name="gate_proj")(x)
-        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
-                      name="up_proj")(x)
-        return nn.Dense(c.hidden_size, use_bias=False, dtype=self.dtype,
-                        name="down_proj")(nn.silu(gate) * up)
+        dense = QDense if self.quant == "int8" else nn.Dense
+        gate = dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
+                     name="gate_proj")(x)
+        up = dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
+                   name="up_proj")(x)
+        return dense(c.hidden_size, use_bias=False, dtype=self.dtype,
+                     name="down_proj")(nn.silu(gate) * up)
 
 
 class Qwen2Layer(nn.Module):
     cfg: Qwen2Config
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, cos, sin, mask, cache=None, cache_index=None):
         c = self.cfg
-        h, new_cache = Qwen2Attention(c, self.dtype, self.attn_impl, name="self_attn")(
+        h, new_cache = Qwen2Attention(
+            c, self.dtype, self.attn_impl, self.quant, name="self_attn"
+        )(
             RMSNorm(c.rms_norm_eps, self.dtype, name="input_layernorm")(x),
             cos, sin, mask, cache, cache_index,
         )
         x = x + h
-        x = x + Qwen2MLP(c, self.dtype, name="mlp")(
+        x = x + Qwen2MLP(c, self.dtype, self.quant, name="mlp")(
             RMSNorm(c.rms_norm_eps, self.dtype, name="post_attention_layernorm")(x)
         )
         return x, new_cache
@@ -182,6 +220,9 @@ class Qwen2LM(nn.Module):
     # commented (`phase1/OnlineKnowledge...:93-94`).
     remat: bool = False
     attn_impl: str = "xla"
+    # "int8": w8a8 decoder-block projections (embed/norms/lm_head stay
+    # bf16).  For the frozen KD teacher — see ops/int8.py.
+    quant: str = "none"
 
     def setup(self):
         c = self.cfg
@@ -194,7 +235,8 @@ class Qwen2LM(nn.Module):
             nn.remat(Qwen2Layer, prevent_cse=False) if self.remat else Qwen2Layer
         )
         self.layers = [
-            layer_cls(c, self.dtype, self.attn_impl, name=f"layers_{i}")
+            layer_cls(c, self.dtype, self.attn_impl, self.quant,
+                      name=f"layers_{i}")
             for i in range(c.num_hidden_layers)
         ]
         self.norm = RMSNorm(c.rms_norm_eps, self.dtype, name="norm")
