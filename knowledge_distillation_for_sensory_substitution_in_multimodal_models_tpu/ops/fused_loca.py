@@ -460,3 +460,397 @@ def fused_loca_loss(
         temperature=temperature, alpha=alpha, eps=eps,
     )
     return total / (n * v_real) * (temperature ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Combined LoCa + CE pipeline.
+#
+# Double-trouble phases 2/3 (and logit_based) need BOTH the calibrated KL
+# (at temperature T, unshifted labels) and masked CE (at T=1, shifted
+# labels).  Run separately (fused_loca + fused_ce) they sweep the student
+# head 8x and the teacher head 5x per step; the profiled r2 KD step spent
+# 92 ms (24%) in these kernels at MXU speed-of-light — i.e. the only win
+# left is *fewer sweeps*.  This combined pipeline computes the raw student
+# logits block once and derives both temperature scalings from it:
+#
+#   pass 1 (stats):   + student T=1 lse and CE gold ride the same sweep
+#   pass 2 (fwd):     KL rows + tsum (the backward's sum of live loca)
+#                     in one sweep; CE forward is FREE (lse1 - gold1)
+#   bwd (dhs / dws):  one combined d_logits =
+#                     g_kl/T * (p_sT * tsum - live*loca) + g_ce*(p_s1 - 1y)
+#
+# 4 (student+teacher) sweeps total vs 13 for the separate ops.
+# ---------------------------------------------------------------------------
+
+
+def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref, labce_ref,
+                     lsesT_ref, lset_ref, gold_ref, m1_ref, m2_ref,
+                     lses1_ref, golds1_ref,
+                     sc_lsT, sc_lt, sc_g, sc_m1, sc_m2, sc_msT, sc_mt,
+                     sc_ls1, sc_ms1, sc_gs,
+                     *, v_real: int, inv_t: float, n_v: int):
+    """_stats_kernel + student T=1 logsumexp + student CE gold logit."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        sc_lsT[:] = jnp.zeros_like(sc_lsT)
+        sc_lt[:] = jnp.zeros_like(sc_lt)
+        sc_g[:] = jnp.zeros_like(sc_g)
+        sc_m1[:] = jnp.full_like(sc_m1, NEG)
+        sc_m2[:] = jnp.full_like(sc_m2, NEG)
+        sc_msT[:] = jnp.full_like(sc_msT, NEG)
+        sc_mt[:] = jnp.full_like(sc_mt, NEG)
+        sc_ls1[:] = jnp.zeros_like(sc_ls1)
+        sc_ms1[:] = jnp.full_like(sc_ms1, NEG)
+        sc_gs[:] = jnp.zeros_like(sc_gs)
+
+    s_raw = _logits_block(hs_ref, ws_ref, 1.0)
+    t = _logits_block(ht_ref, wt_ref, inv_t)
+    cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
+    in_vocab = cols < v_real
+    s1 = jnp.where(in_vocab, s_raw, NEG)
+    sT = jnp.where(in_vocab, s_raw * inv_t, NEG)
+    t = jnp.where(in_vocab, t, NEG)
+
+    def online_lse(x, sc_m, sc_l):
+        m_prev = sc_m[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(x, axis=1, keepdims=True))
+        sc_l[:] = jnp.broadcast_to(
+            sc_l[:, 0:1] * jnp.exp(m_prev - m_new)
+            + jnp.sum(jnp.exp(x - m_new), axis=1, keepdims=True),
+            sc_l.shape,
+        )
+        sc_m[:] = jnp.broadcast_to(m_new, sc_m.shape)
+
+    online_lse(sT, sc_msT, sc_lsT)
+    online_lse(s1, sc_ms1, sc_ls1)
+    online_lse(t, sc_mt, sc_lt)
+
+    labels = lab_ref[:, 0]
+    onehot = cols == labels[:, None]
+    sc_g[:] = sc_g[:] + jnp.broadcast_to(
+        jnp.sum(jnp.where(onehot, t, 0.0), axis=1, keepdims=True), sc_g.shape
+    )
+    labels_ce = labce_ref[:, 0]
+    onehot_ce = cols == labels_ce[:, None]
+    sc_gs[:] = sc_gs[:] + jnp.broadcast_to(
+        jnp.sum(jnp.where(onehot_ce, s1, 0.0), axis=1, keepdims=True),
+        sc_gs.shape,
+    )
+
+    b1 = jnp.max(t, axis=1, keepdims=True)
+    t_wo_b1 = jnp.where(t == b1, NEG, t)
+    b2 = jnp.max(t_wo_b1, axis=1, keepdims=True)
+    m1, m2 = sc_m1[:, 0:1], sc_m2[:, 0:1]
+    new_m1 = jnp.maximum(m1, b1)
+    new_m2 = jnp.maximum(jnp.minimum(m1, b1), jnp.maximum(m2, b2))
+    sc_m1[:] = jnp.broadcast_to(new_m1, sc_m1.shape)
+    sc_m2[:] = jnp.broadcast_to(new_m2, sc_m2.shape)
+
+    @pl.when(j == n_v - 1)
+    def _():
+        lsesT_ref[:] = sc_msT[:, 0:1] + jnp.log(sc_lsT[:, 0:1])
+        lset_ref[:] = sc_mt[:, 0:1] + jnp.log(sc_lt[:, 0:1])
+        gold_ref[:] = sc_g[:, 0:1]
+        m1_ref[:] = sc_m1[:, 0:1]
+        m2_ref[:] = sc_m2[:, 0:1]
+        lses1_ref[:] = sc_ms1[:, 0:1] + jnp.log(sc_ls1[:, 0:1])
+        golds1_ref[:] = sc_gs[:, 0:1]
+
+
+def _klts_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
+                     lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
+                     out_ref, tsum_ref, acc, acc_ts,
+                     *, v_real: int, inv_t: float, n_v: int, eps: float):
+    """_kl_fwd_kernel that also emits tsum (sum of live loca) per row, so
+    the backward skips its dedicated stats sweep."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        acc_ts[:] = jnp.zeros_like(acc_ts)
+
+    s = _logits_block(hs_ref, ws_ref, inv_t)
+    t = _logits_block(ht_ref, wt_ref, inv_t)
+    cols = _col_ids(j, s.shape[0], s.shape[1])
+    in_vocab = cols < v_real
+    s = jnp.where(in_vocab, s, NEG)
+    t = jnp.where(in_vocab, t, NEG)
+    labels = lab_ref[:, 0]
+    loca, log_ps = _loca_block(
+        t, s, cols, labels, lset_ref[:, 0:1], lses_ref[:, 0:1],
+        sc_row_ref[:, 0:1], tval_ref[:, 0:1], vmask_ref[:, 0:1] != 0,
+    )
+    log_ps_c = jnp.maximum(log_ps, jnp.log(eps))
+    el = jnp.where(
+        (loca > 0) & in_vocab,
+        loca * (jnp.log(jnp.where(loca > 0, loca, 1.0)) - log_ps_c),
+        0.0,
+    )
+    acc[:] = acc[:] + jnp.broadcast_to(
+        jnp.sum(el, axis=1, keepdims=True), acc.shape
+    )
+    live = (log_ps_c > jnp.log(eps)) & (loca > 0) & in_vocab
+    acc_ts[:] = acc_ts[:] + jnp.broadcast_to(
+        jnp.sum(jnp.where(live, loca, 0.0), axis=1, keepdims=True),
+        acc_ts.shape,
+    )
+
+    @pl.when(j == n_v - 1)
+    def _():
+        out_ref[:] = acc[:, 0:1]
+        tsum_ref[:] = acc_ts[:, 0:1]
+
+
+def _combined_ds(s_raw, t, cols, in_vocab, labels, labels_ce,
+                 lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
+                 lses1_ref, vmce_ref, g_ref, gce_ref, tsum_ref,
+                 inv_t, eps):
+    """The shared combined d_logits of LoCa-KL + CE for the bwd kernels."""
+    sT = jnp.where(in_vocab, s_raw * inv_t, NEG)
+    s1 = jnp.where(in_vocab, s_raw, NEG)
+    loca, log_ps = _loca_block(
+        t, sT, cols, labels, lset_ref[:, 0:1], lses_ref[:, 0:1],
+        sc_row_ref[:, 0:1], tval_ref[:, 0:1], vmask_ref[:, 0:1] != 0,
+    )
+    p_sT = jnp.exp(log_ps)
+    live = (log_ps > jnp.log(eps)) & (loca > 0) & in_vocab
+    ds = (p_sT * tsum_ref[:, 0:1] - jnp.where(live, loca, 0.0)) \
+        * g_ref[:, 0:1] * inv_t
+    p_s1 = jnp.exp(s1 - lses1_ref[:, 0:1])
+    onehot_ce = (cols == labels_ce[:, None]).astype(jnp.float32)
+    ds = ds + (p_s1 - onehot_ce) * (gce_ref[:, 0:1] * vmce_ref[:, 0:1])
+    return jnp.where(in_vocab, ds, 0.0)
+
+
+def _dhs_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
+                   labce_ref, lses_ref, lset_ref, sc_row_ref, tval_ref,
+                   vmask_ref, lses1_ref, vmce_ref,
+                   g_ref, gce_ref, tsum_ref,
+                   dhs_ref, acc,
+                   *, v_real: int, inv_t: float, n_v: int, eps: float):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    s_raw = _logits_block(hs_ref, ws_ref, 1.0)
+    t = _logits_block(ht_ref, wt_ref, inv_t)
+    cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
+    in_vocab = cols < v_real
+    t = jnp.where(in_vocab, t, NEG)
+    ds = _combined_ds(
+        s_raw, t, cols, in_vocab, lab_ref[:, 0], labce_ref[:, 0],
+        lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
+        lses1_ref, vmce_ref, g_ref, gce_ref, tsum_ref, inv_t, eps,
+    )
+    acc[:] = acc[:] + jax.lax.dot_general(
+        ds.astype(ws_ref.dtype), ws_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_v - 1)
+    def _():
+        dhs_ref[:] = acc[:].astype(dhs_ref.dtype)
+
+
+def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
+                   labce_ref, lses_ref, lset_ref, sc_row_ref, tval_ref,
+                   vmask_ref, lses1_ref, vmce_ref,
+                   g_ref, gce_ref, tsum_ref,
+                   dws_ref, acc,
+                   *, v_real: int, inv_t: float, n_n: int, eps: float):
+    j, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    s_raw = _logits_block(hs_ref, ws_ref, 1.0)
+    t = _logits_block(ht_ref, wt_ref, inv_t)
+    cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
+    in_vocab = cols < v_real
+    t = jnp.where(in_vocab, t, NEG)
+    ds = _combined_ds(
+        s_raw, t, cols, in_vocab, lab_ref[:, 0], labce_ref[:, 0],
+        lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
+        lses1_ref, vmce_ref, g_ref, gce_ref, tsum_ref, inv_t, eps,
+    )
+    acc[:] = acc[:] + jax.lax.dot_general(
+        hs_ref[:], ds.astype(hs_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == n_n - 1)
+    def _():
+        dws_ref[:] = acc[:].astype(dws_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _loca_ce_rows(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha, eps):
+    (kl, ce), _ = _loca_ce_rows_impl(
+        hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha, eps
+    )
+    return kl, ce
+
+
+def _loca_ce_rows_impl(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t,
+                       alpha, eps):
+    n, d = hs.shape
+    dt = ht.shape[1]
+    n_n, n_v = n // BN, ws.shape[1] // BV
+    hspec, cspec, rspec = _specs(d)
+    hspec_t, cspec_t, _ = _specs(dt)
+    lab2 = lab_loca[:, None].astype(jnp.int32)
+    labce2 = lab_ce[:, None].astype(jnp.int32)
+    outs = pl.pallas_call(
+        functools.partial(_stats_ce_kernel, v_real=v_real, inv_t=inv_t,
+                          n_v=n_v),
+        grid=(n_n, n_v),
+        in_specs=[hspec, cspec, hspec_t, cspec_t, rspec, rspec],
+        out_specs=[rspec] * 7,
+        out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 7,
+        scratch_shapes=[pltpu.VMEM((BN, 128), jnp.float32)] * 10,
+        compiler_params=pltpu.CompilerParams(**_SEM),
+    )(hs, ws, ht, wt, lab2, labce2)
+    lse_sT, lse_t, gold_t, m1, m2, lse_s1, gold_s1 = (o[:, 0] for o in outs)
+
+    valid = lab_loca >= 0
+    p_gt = jnp.exp(gold_t - lse_t)
+    p_2nd = jnp.exp(m2 - lse_t)
+    scale_row = alpha / (1.0 - p_gt + p_2nd)
+    tval = 1.0 - scale_row * (1.0 - p_gt)
+    rows = [lse_sT[:, None], lse_t[:, None], scale_row[:, None],
+            tval[:, None], valid[:, None].astype(jnp.int32)]
+    kl, tsum = _call_rows(
+        functools.partial(_klts_fwd_kernel, v_real=v_real, inv_t=inv_t,
+                          n_v=n_v, eps=eps),
+        hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
+        [rspec, rspec],
+        [jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 2,
+        [pltpu.VMEM((BN, 128), jnp.float32)] * 2,
+    )
+    valid_ce = (lab_ce >= 0).astype(jnp.float32)
+    ce_rows = (lse_s1 - gold_s1) * valid_ce
+    res = (rows, lab2, labce2, lse_s1[:, None], valid_ce[:, None], tsum)
+    return (kl[:, 0], ce_rows), res
+
+
+def _loca_ce_rows_fwd(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t,
+                      alpha, eps):
+    (kl, ce), res = _loca_ce_rows_impl(
+        hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha, eps
+    )
+    return (kl, ce), (hs, ws, ht, wt) + res
+
+
+def _loca_ce_rows_bwd(v_real, inv_t, alpha, eps, res, g):
+    hs, ws, ht, wt, rows, lab2, labce2, lse_s1, vmce, tsum = res
+    g_kl, g_ce = g
+    n, d = hs.shape
+    dt = ht.shape[1]
+    v_pad = ws.shape[1]
+    n_n, n_v = n // BN, v_pad // BV
+    hspec, _, _ = _specs(d)
+    # kernel arg order: (..., lab2, labce2, lses, lset, sc_row, tval, vmask,
+    #                    lses1, vmce, g, gce, tsum)
+    ordered_rows = [labce2] + rows + [lse_s1, vmce]
+    extra = (g_kl[:, None].astype(jnp.float32),
+             g_ce[:, None].astype(jnp.float32), tsum)
+    dhs = _call_rows(
+        functools.partial(_dhs_ce_kernel, v_real=v_real, inv_t=inv_t,
+                          n_v=n_v, eps=eps),
+        hs, ws, ht, wt, lab2, ordered_rows, n, d, dt, n_n, n_v,
+        hspec, jax.ShapeDtypeStruct((n, d), hs.dtype),
+        [pltpu.VMEM((BN, d), jnp.float32)],
+        extra=extra,
+    )
+    _, cspec2, _ = _specs(d, q_major=False)
+    dws = _call_rows(
+        functools.partial(_dws_ce_kernel, v_real=v_real, inv_t=inv_t,
+                          n_n=n_n, eps=eps),
+        hs, ws, ht, wt, lab2, ordered_rows, n, d, dt, n_n, n_v,
+        cspec2, jax.ShapeDtypeStruct((d, v_pad), ws.dtype),
+        [pltpu.VMEM((d, BV), jnp.float32)],
+        extra=extra, q_major=False,
+    )
+    return (dhs, dws, jnp.zeros_like(ht), jnp.zeros_like(wt), None, None)
+
+
+_loca_ce_rows.defvjp(_loca_ce_rows_fwd, _loca_ce_rows_bwd)
+
+
+def fused_loca_ce_sums(
+    student_hidden: jnp.ndarray,
+    student_head: jnp.ndarray,
+    teacher_hidden: jnp.ndarray,
+    teacher_head: jnp.ndarray,
+    loca_labels: jnp.ndarray,
+    ce_labels: jnp.ndarray,
+    temperature: float = 1.0,
+    alpha: float = 0.8,
+    eps: float = 1e-8,
+):
+    """(LoCa row-sum total, CE NLL sum, CE valid count) in one pipeline.
+
+    ``loca_labels`` are the UNSHIFTED labels the calibration indexes
+    (reference quirk, SURVEY.md §2.5 #3); ``ce_labels`` the shifted
+    next-token targets with -100 ignored.  Row-sharded callers
+    (ops/fused_spmd.py) psum all three before the global reductions.
+    """
+    n = student_hidden.shape[0]
+    v_real = student_head.shape[1]
+    inv_t = 1.0 / temperature
+
+    hs = _pad_to(student_hidden, BN, 0)
+    ht = _pad_to(teacher_hidden, BN, 0)
+    ws = _pad_to(student_head, BV, 1)
+    wt = _pad_to(teacher_head[:, :v_real], BV, 1)
+    lab = _pad_to(
+        jnp.where(loca_labels >= 0, loca_labels, -1).astype(jnp.int32),
+        BN, 0, value=-1,
+    )
+    labce = _pad_to(
+        jnp.where(ce_labels >= 0, ce_labels, -1).astype(jnp.int32),
+        BN, 0, value=-1,
+    )
+    if hs.shape[1] % 128 != 0:
+        hs = _pad_to(hs, 128, 1)
+        ws = _pad_to(ws, 128, 0)
+    if ht.shape[1] % 128 != 0:
+        ht = _pad_to(ht, 128, 1)
+        wt = _pad_to(wt, 128, 0)
+
+    kl_rows, ce_rows = _loca_ce_rows(
+        hs, ws, ht, wt, lab, labce, v_real, inv_t, alpha, eps
+    )
+    count = (ce_labels >= 0).sum()
+    return kl_rows[:n].sum(), ce_rows[:n].sum(), count
+
+
+def fused_loca_ce_loss(
+    student_hidden: jnp.ndarray,
+    student_head: jnp.ndarray,
+    teacher_hidden: jnp.ndarray,
+    teacher_head: jnp.ndarray,
+    loca_labels: jnp.ndarray,
+    ce_labels: jnp.ndarray,
+    temperature: float = 1.0,
+    alpha: float = 0.8,
+    eps: float = 1e-8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(LoCa loss, CE loss) — matches ``fused_loca_loss`` +
+    ``fused_ce.fused_ce_loss`` exactly, at 4 head sweeps instead of 13."""
+    n = student_hidden.shape[0]
+    v_real = student_head.shape[1]
+    kl_sum, ce_sum, count = fused_loca_ce_sums(
+        student_hidden, student_head, teacher_hidden, teacher_head,
+        loca_labels, ce_labels, temperature=temperature, alpha=alpha,
+        eps=eps,
+    )
+    loca = kl_sum / (n * v_real) * (temperature ** 2)
+    ce = ce_sum / jnp.maximum(count, 1)
+    return loca, ce

@@ -161,20 +161,32 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
             from ..ops.fused_spmd import (
                 fused_ce_loss_spmd,
                 fused_kl_loss_spmd,
+                fused_loca_ce_loss_spmd,
                 fused_loca_loss_spmd,
             )
 
             impl = cfg.fused_local_impl
             b, s_len, d_model = s_hidden.shape
             flat_h = s_hidden.reshape(b * s_len, d_model)
+            ce_labels = None
             if fused_ce:
                 ce_labels = jnp.concatenate(
                     [labels[:, 1:],
                      jnp.full((b, 1), IGNORE_INDEX, labels.dtype)], axis=1
-                )
-                metrics["ce"] = fused_ce_loss_spmd(
-                    flat_h, ws, ce_labels.reshape(b * s_len),
+                ).reshape(b * s_len)
+            if fused_loca and fused_ce:
+                # phases 2/3 + logit_based: one combined pipeline computes
+                # both terms (4 head sweeps vs 13 — ops/fused_loca.py)
+                metrics["loca"], metrics["ce"] = fused_loca_ce_loss_spmd(
+                    flat_h, ws,
+                    th.reshape(b * s_len, th.shape[-1]), wt,
+                    labels.reshape(b * s_len), ce_labels,
+                    temperature=lc.temperature, alpha=lc.loca_alpha,
                     local_impl=impl,
+                )
+            elif fused_ce:
+                metrics["ce"] = fused_ce_loss_spmd(
+                    flat_h, ws, ce_labels, local_impl=impl,
                 )
             if fused_kl:
                 metrics["kl"] = fused_kl_loss_spmd(
@@ -182,7 +194,7 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                     th.reshape(b * s_len, th.shape[-1]), wt,
                     temperature=lc.temperature, local_impl=impl,
                 )
-            if fused_loca:
+            if fused_loca and not fused_ce:
                 metrics["loca"] = fused_loca_loss_spmd(
                     flat_h, ws,
                     th.reshape(b * s_len, th.shape[-1]), wt,

@@ -1,0 +1,69 @@
+"""Combined fused LoCa+CE pipeline vs the separate fused ops — values and
+student-side gradients must match exactly (same math, 4 head sweeps
+instead of 13), interpret mode on CPU."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_ce import (
+    fused_ce_loss,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_loca import (
+    fused_loca_ce_loss,
+    fused_loca_loss,
+)
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.mark.parametrize("n,ds,dt,v,vt,temp,alpha,gamma", [
+    (64, 128, 256, 300, 340, 0.8, 0.8, 0.8),   # double-trouble p3 preset
+    (50, 96, 96, 513, 513, 1.0, 0.8, 1.0),     # logit_based preset (T=1)
+])
+def test_fused_loca_ce_value_and_grads(n, ds, dt, v, vt, temp, alpha, gamma):
+    rng = np.random.default_rng(1)
+    hs = jnp.asarray(rng.normal(size=(n, ds)).astype(np.float32))
+    ht = jnp.asarray(rng.normal(size=(n, dt)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(ds, v)).astype(np.float32) * 0.05)
+    wt = jnp.asarray(rng.normal(size=(dt, vt)).astype(np.float32) * 0.05)
+    loca_labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    loca_labels[:7] = -100
+    ce_labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    ce_labels[-9:] = -100
+    loca_labels, ce_labels = jnp.asarray(loca_labels), jnp.asarray(ce_labels)
+
+    def ref(hs_, ws_):
+        # the separate fused ops, each parity-tested against the reference
+        # path on its own (tests/test_fused_loca.py, tests/test_fused_ce.py)
+        loca = fused_loca_loss(hs_, ws_, ht, wt, loca_labels,
+                               temperature=temp, alpha=alpha)
+        ce = fused_ce_loss(hs_, ws_, ce_labels)
+        return gamma * loca + ce, (loca, ce)
+
+    def fused(hs_, ws_):
+        loca, ce = fused_loca_ce_loss(
+            hs_, ws_, ht, wt, loca_labels, ce_labels,
+            temperature=temp, alpha=alpha,
+        )
+        return gamma * loca + ce, (loca, ce)
+
+    with pltpu.force_tpu_interpret_mode():
+        (got, (got_loca, got_ce)), (gh, gw) = jax.value_and_grad(
+            fused, argnums=(0, 1), has_aux=True
+        )(hs, ws)
+        (want, (want_loca, want_ce)), (rh, rw) = jax.value_and_grad(
+            ref, argnums=(0, 1), has_aux=True
+        )(hs, ws)
+
+    np.testing.assert_allclose(float(got_loca), float(want_loca),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(got_ce), float(want_ce),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(rh),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=2e-4, atol=2e-6)

@@ -135,6 +135,38 @@ def test_fused_loca_spmd_matches_reference():
     _check(spmd, ref, (hs, ws), (hs, ws), mesh)
 
 
+def test_fused_loca_ce_spmd_matches_reference():
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_spmd import (
+        fused_loca_ce_loss_spmd,
+    )
+
+    hs, ht, ws, wt, labels = _data(3)
+    rng = np.random.default_rng(7)
+    ce_labels = rng.integers(0, V, size=(N,)).astype(np.int32)
+    ce_labels[-6:] = -100
+    ce_labels = jnp.asarray(ce_labels)
+    mesh = make_mesh(MeshConfig(2, 2, 2))
+
+    def spmd(h, w):
+        loca, ce = fused_loca_ce_loss_spmd(
+            h, w, ht, wt, labels, ce_labels, temperature=0.8, alpha=0.8,
+            local_impl="xla",
+        )
+        return 0.8 * loca + ce
+
+    def ref(h, w):
+        loca = loca_loss((ht @ wt)[None], (h @ w)[None], labels[None],
+                         temperature=0.8, alpha=0.8)
+        logits = h @ w
+        valid = ce_labels != -100
+        nll = optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.where(valid, ce_labels, 0)
+        )
+        return 0.8 * loca + (nll * valid).sum() / valid.sum()
+
+    _check(spmd, ref, (hs, ws), (hs, ws), mesh)
+
+
 def test_sharded_kd_fused_step_matches_chunked_single_device():
     """Phase-3 KD step, ce_impl=fused, under the (1,2,4) mesh == the
     chunked single-device step (the multi-chip phases 2/3 program)."""
