@@ -323,13 +323,20 @@ def bench_generation(args) -> dict:
     seq_len, orig = c["seq_len"], c["orig"]
     new_tokens = 8 if args.cpu else 32
 
-    model = LlavaOnevision(scfg, dtype=dtype, attn_impl=attn_impl)
+    model = LlavaOnevision(scfg, dtype=dtype, attn_impl=attn_impl,
+                           lm_quant=args.student_quant)
     batch = synthetic_kd_batch(
         scfg, batch_size=1, seq_len=seq_len, orig_sizes=[orig], seed=3,
     )
     jb = {k: jnp.asarray(v) for k, v in batch.items()
           if not k.startswith("teacher_")}
-    params = _materialize(_shapes(model, jb, 2, "student"), 2, dtype)
+    params = _materialize(_shapes(
+        LlavaOnevision(scfg, dtype=dtype), jb, 2, "student"), 2, dtype)
+    if args.student_quant == "int8":
+        from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
+            quantize_lm_params_int8,
+        )
+        params = jax.jit(quantize_lm_params_int8)(params)
     gcfg = GenerateConfig(max_new_tokens=new_tokens, eos_token_id=-1)
     gen = Generator(model, scfg, gcfg)
 
@@ -376,6 +383,11 @@ def main() -> None:
                     help="int8: w8a8 decoder-block matmuls for the frozen "
                     "teacher (MXU int8 path measures ~1.6x bf16; halves "
                     "teacher weight HBM) — see ops/int8.py")
+    ap.add_argument("--student_quant", choices=["none", "int8"],
+                    default="none",
+                    help="generation mode only: serve the student with "
+                    "w8a8 LM matmuls (decode at batch 1 is weight-"
+                    "bandwidth-bound; int8 halves the bytes)")
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="capture a jax.profiler trace of the timed steps")
     ap.add_argument("--remat", type=str, default="full",

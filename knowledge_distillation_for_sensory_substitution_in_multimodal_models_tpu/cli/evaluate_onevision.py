@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_eval_depth_quirk", dest="eval_depth_quirk",
                    action="store_false")
     p.add_argument("--root_data_dir", type=str, default=None)
+    p.add_argument("--quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8: w8a8 LM decoder matmuls for serving — decode "
+                   "at batch 1 is weight-bandwidth-bound, int8 halves the "
+                   "bytes (ops/int8.py; fidelity tests tests/test_int8.py)")
     common.add_tpu_flags(p)
     return p
 
@@ -95,6 +100,16 @@ def main(argv=None):
         )
         params = full["params"]
         print(f"loaded student params from {args.student_ckpt_path}")
+
+    if args.quant == "int8":
+        # Quantize AFTER restore (checkpoints stay bf16/f32) and swap in
+        # the int8-consuming model for generation.
+        from ..ops.int8 import quantize_lm_params_int8
+
+        params = jax.jit(quantize_lm_params_int8)(params)
+        student = LlavaOnevision(
+            scfg, dtype=dtype, attn_impl=attn_impl, lm_quant="int8"
+        )
 
     depth_encoding = (
         "prewitt_imagenet" if args.eval_depth_quirk else "prewitt"

@@ -24,6 +24,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["depth", "rgb"])
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--root_data_dir", type=str, default=None)
+    p.add_argument("--quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="int8: w8a8 LM decoder matmuls for serving "
+                   "(ops/int8.py)")
     common.add_tpu_flags(p)
     return p
 
@@ -62,6 +66,15 @@ def main(argv=None):
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), {"params": params}
         )
         params = mgr.restore(args.student_ckpt_path, abstract, partial=True)["params"]
+
+    if args.quant == "int8":
+        from ..ops.int8 import quantize_lm_params_int8
+
+        params = jax.jit(quantize_lm_params_int8)(params)
+        student = LlavaOnevision(
+            scfg, dtype=dtype, attn_impl=common.resolve_attn_impl(args),
+            lm_quant="int8",
+        )
 
     ds = SUNRGBDVQADataset(
         root, f"{args.gts_type}_dataset.csv",
