@@ -31,3 +31,10 @@ def test_bench_suite_json():
     assert j["metric"].startswith("kd_double_trouble_p")
     assert "baseline_depth_samples_per_sec" in j["extras"]
     assert "generation_tok_per_sec" in j["extras"]
+
+
+def test_bench_quant_flags_json():
+    j = _run(["--mode", "kd", "--teacher_quant", "int8"])
+    assert "(int8)" in j["metric"] and j["value"] > 0
+    g = _run(["--mode", "generation", "--student_quant", "int8"])
+    assert g["unit"] == "tok/s" and g["value"] > 0
