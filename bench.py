@@ -220,7 +220,10 @@ def bench_train(args, mode: str) -> dict:
         )
         models = KDModels(student, None)
 
-    tx = make_optimizer(sparams, 2e-5)
+    tx = make_optimizer(
+        sparams, 2e-5,
+        mu_dtype="bfloat16" if args.mu_dtype == "bf16" else None,
+    )
     state = TrainState.create(apply_fn=None, params=sparams, tx=tx)
     step = jax.jit(
         make_train_step(models, cfg), donate_argnums=(0,),
@@ -383,6 +386,9 @@ def main() -> None:
                     help="int8: w8a8 decoder-block matmuls for the frozen "
                     "teacher (MXU int8 path measures ~1.6x bf16; halves "
                     "teacher weight HBM) — see ops/int8.py")
+    ap.add_argument("--mu_dtype", choices=["f32", "bf16"], default="f32",
+                    help="bf16: Adam first moment in bf16 (-1 GB HBM on "
+                    "the 0.5B student; what lets KD phase-3 fit B=2)")
     ap.add_argument("--student_quant", choices=["none", "int8"],
                     default="none",
                     help="generation mode only: serve the student with "

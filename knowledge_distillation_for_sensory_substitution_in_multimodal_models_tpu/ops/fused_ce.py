@@ -37,6 +37,22 @@ def _col_ids(j, bn, bv):
     return j * bv + jax.lax.broadcasted_iota(jnp.int32, (bn, bv), 1)
 
 
+def _masked_w(w_ref, j, v_real):
+    """Zero the out-of-range vocab lanes of a (d, BV) head block.
+
+    With the unpadded-vocab ceil-div grid the edge block reads past the
+    array; those lanes can be NaN/Inf garbage.  Kernels that only SELECT
+    against logits (``jnp.where(cols < v_real, ...)``) are safe, but any
+    contraction over the vocab axis touches the garbage (0*NaN = NaN), so
+    the weight block itself must be sanitized there.
+    """
+    w = w_ref[:]
+    cols = j * w.shape[1] + jax.lax.broadcasted_iota(
+        jnp.int32, (1, w.shape[1]), 1
+    )
+    return jnp.where(cols < v_real, w, jnp.zeros((), w.dtype))
+
+
 def _fwd_kernel(h_ref, w_ref, lab_ref, lse_ref, gold_ref, m_sc, l_sc, g_sc,
                 *, v_real: int, bn: int, bv: int, n_v: int):
     j = pl.program_id(1)
@@ -100,7 +116,8 @@ def _dh_kernel(h_ref, w_ref, lab_ref, lse_ref, rs1_ref, rs2_ref, dh_ref, acc,
     p = p * rs1_ref[:, 0:1] + onehot * rs2_ref[:, 0:1]
     p = jnp.where(cols < v_real, p, 0.0).astype(w.dtype)
     acc[:] = acc[:] + jax.lax.dot_general(
-        p, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        p, _masked_w(w_ref, j, v_real), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(j == n_v - 1)
@@ -147,6 +164,10 @@ def _pad_to(x, mult, axis, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 # Row/vocab block sizes.  Profiled r2: at (256, 512) the dh/dw backward
 # grids hit ~5.6k programs each (~2.7us dispatch floor per program on the
 # sequential TPU grid) — over half their runtime.  bench.py raises these
@@ -164,9 +185,13 @@ def _lse_gold(h, w, labels, v_real):
 
 
 def _lse_gold_impl(h, w, labels, v_real) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    # The vocab grid is ceil-div: the head is NOT padded to a BV multiple
+    # (a padded copy of a [D, 152k] head costs hundreds of MB of HLO temps
+    # per head, PERF_NOTES) — edge-block reads past V are garbage that the
+    # kernels' ``cols < v_real`` masks discard, and edge-block writes are
+    # dropped by Pallas.  Verified on hardware before relying on it.
     n, d = h.shape
-    v_pad = w.shape[1]
-    n_n, n_v = n // BN, v_pad // BV
+    n_n, n_v = n // BN, _cdiv(w.shape[1], BV)
     lab2 = labels[:, None].astype(jnp.int32)
     kernel = functools.partial(
         _fwd_kernel, v_real=v_real, bn=BN, bv=BV, n_v=n_v
@@ -208,8 +233,8 @@ def _lse_gold_bwd(v_real, res, g):
     h, w, labels, lse = res
     g_lse, g_gold = g  # [n] cotangents
     n, d = h.shape
-    v_pad = w.shape[1]
-    n_n, n_v = n // BN, v_pad // BV
+    v_pad = w.shape[1]  # == real head width (no BV padding)
+    n_n, n_v = n // BN, _cdiv(v_pad, BV)
     lab2 = labels[:, None].astype(jnp.int32)
     lse2 = lse[:, None]
     # d lse / d logits = p ; d gold / d logits = onehot
@@ -275,7 +300,7 @@ def fused_ce_sum(hidden: jnp.ndarray, w: jnp.ndarray, labels: jnp.ndarray):
 
     h_p = _pad_to(hidden, BN, 0)
     lab_p = _pad_to(safe, BN, 0)
-    w_p = _pad_to(w, BV, 1)
+    w_p = w  # vocab axis unpadded: ceil-div grid + cols<v_real masking
     if d % 128 != 0:
         h_p = _pad_to(h_p, 128, 1)
         w_p = _pad_to(w_p, 128, 0)

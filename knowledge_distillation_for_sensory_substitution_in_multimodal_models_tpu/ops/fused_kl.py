@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_ce import BN, BV, NEG, _col_ids, _lse_gold, _pad_to
+from .fused_ce import BN, BV, NEG, _cdiv, _col_ids, _lse_gold, _masked_w, _pad_to
 
 
 def _kl_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
@@ -80,7 +80,7 @@ def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
     pt = jnp.where(in_vocab, jnp.exp(t - lset_ref[:, 0:1]), 0.0)
     ds = ((ps - pt) * g_ref[:, 0:1] * inv_t).astype(ws_ref.dtype)
     acc[:] = acc[:] + jax.lax.dot_general(
-        ds, ws_ref[:], (((1,), (1,)), ((), ())),
+        ds, _masked_w(ws_ref, j, v_real), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -148,7 +148,7 @@ def _lses(h, w, v_real, inv_t):
 
 def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t):
     n, d = hs.shape
-    n_n, n_v = n // BN, ws.shape[1] // BV
+    n_n, n_v = n // BN, _cdiv(ws.shape[1], BV)
     lse_s = _lses(hs, ws, v_real, inv_t)
     lse_t = _lses(ht, wt, v_real, inv_t)
     hspec, cspec, rspec = _row_specs(d)
@@ -176,7 +176,7 @@ def _kl_rows_bwd(v_real, inv_t, res, g):
     hs, ws, ht, wt, lse_s, lse_t = res
     n, d = hs.shape
     v_pad = ws.shape[1]
-    n_n, n_v = n // BN, v_pad // BV
+    n_n, n_v = n // BN, _cdiv(v_pad, BV)
     g2 = g[:, None].astype(jnp.float32)
     hspec, cspec, rspec = _row_specs(d)
     hspec_t, cspec_t, _ = _row_specs(ht.shape[1])
@@ -234,8 +234,10 @@ def fused_kl_sum(
 
     hs = _pad_to(student_hidden, BN, 0)
     ht = _pad_to(teacher_hidden, BN, 0)
-    ws = _pad_to(student_head, BV, 1)
-    wt = _pad_to(teacher_head[:, :v_real], BV, 1)
+    # vocab axis unpadded: ceil-div grid + cols<v_real masking (also
+    # truncates the teacher's extra vocab rows without a slice copy)
+    ws = student_head
+    wt = teacher_head
     if hs.shape[1] % 128 != 0:
         hs = _pad_to(hs, 128, 1)
         ws = _pad_to(ws, 128, 0)

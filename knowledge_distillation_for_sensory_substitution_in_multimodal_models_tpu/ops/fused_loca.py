@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_ce import BN, BV, NEG, _col_ids, _pad_to
+from .fused_ce import BN, BV, NEG, _cdiv, _col_ids, _masked_w, _pad_to
 
 
 def _logits_block(h_ref, w_ref, inv_t):
@@ -38,6 +38,51 @@ def _logits_block(h_ref, w_ref, inv_t):
         h_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * inv_t
+
+
+# --- student-head layout support -------------------------------------------
+# The tied 0.5B student head IS the embedding table, natively [V, D]; feeding
+# the kernels its transpose costs a 260 MB layout copy per step (plus the
+# reverse transpose of the gradient).  ``vd=True`` consumes [V, D] directly
+# and emits d_head in [V, D] — zero layout copies end to end.
+
+
+def _s_logits_block(h_ref, ws_ref, inv_t, vd):
+    if vd:
+        out = jax.lax.dot_general(
+            h_ref[:], ws_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out = jax.lax.dot_general(
+            h_ref[:], ws_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return out if inv_t == 1.0 else out * inv_t
+
+
+def _masked_ws(ws_ref, j, v_real, vd):
+    """Zero out-of-range vocab entries of a student-head block (see
+    _masked_w) for either layout."""
+    if not vd:
+        return _masked_w(ws_ref, j, v_real)
+    w = ws_ref[:]
+    rows = j * w.shape[0] + jax.lax.broadcasted_iota(
+        jnp.int32, (w.shape[0], 1), 0
+    )
+    return jnp.where(rows < v_real, w, jnp.zeros((), w.dtype))
+
+
+def _ws_block_spec(d, vd, q_major=True):
+    if q_major:
+        col_dv = lambda i, j: (0, j)  # noqa: E731
+        col_vd = lambda i, j: (j, 0)  # noqa: E731
+    else:
+        col_dv = lambda j, i: (0, j)  # noqa: E731
+        col_vd = lambda j, i: (j, 0)  # noqa: E731
+    if vd:
+        return pl.BlockSpec((BV, d), col_vd, memory_space=pltpu.VMEM)
+    return pl.BlockSpec((d, BV), col_dv, memory_space=pltpu.VMEM)
 
 
 def _stats_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
@@ -189,7 +234,8 @@ def _dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
     ds = (p_s * tsum_ref[:, 0:1] - jnp.where(live, loca, 0.0))
     ds = jnp.where(in_vocab, ds, 0.0) * g_ref[:, 0:1] * inv_t
     acc[:] = acc[:] + jax.lax.dot_general(
-        ds.astype(ws_ref.dtype), ws_ref[:], (((1,), (1,)), ((), ())),
+        ds.astype(ws_ref.dtype), _masked_w(ws_ref, j, v_real),
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -285,7 +331,7 @@ _SEM = dict(dimension_semantics=("parallel", "arbitrary"))
 
 def _row_stats(hs, ws, ht, wt, labels, v_real, inv_t, alpha):
     n, d = hs.shape
-    n_n, n_v = n // BN, ws.shape[1] // BV
+    n_n, n_v = n // BN, _cdiv(ws.shape[1], BV)
     hspec, cspec, rspec = _specs(d)
     hspec_t, cspec_t, _ = _specs(ht.shape[1])
     lab2 = labels[:, None].astype(jnp.int32)
@@ -315,9 +361,12 @@ def _loca_rows(hs, ws, ht, wt, labels, v_real, inv_t, alpha, eps):
 
 
 def _call_rows(kernel, hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
-               out_spec, out_shape, scratch, extra=(), q_major=True):
+               out_spec, out_shape, scratch, extra=(), q_major=True,
+               ws_spec=None):
     hspec, cspec, rspec = _specs(d, q_major)
     hspec_t, cspec_t, _ = _specs(dt, q_major)
+    if ws_spec is not None:
+        cspec = ws_spec
     in_specs = [hspec, cspec, hspec_t, cspec_t, rspec] + [rspec] * (
         len(rows) + len(extra)
     )
@@ -336,7 +385,7 @@ def _call_rows(kernel, hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
 def _loca_rows_impl(hs, ws, ht, wt, labels, v_real, inv_t, alpha, eps):
     n, d = hs.shape
     dt = ht.shape[1]
-    n_n, n_v = n // BN, ws.shape[1] // BV
+    n_n, n_v = n // BN, _cdiv(ws.shape[1], BV)
     lse_s, lse_t, scale_row, tval, valid, lab2 = _row_stats(
         hs, ws, ht, wt, labels, v_real, inv_t, alpha
     )
@@ -365,7 +414,7 @@ def _loca_rows_bwd(v_real, inv_t, alpha, eps, res, g):
     n, d = hs.shape
     dt = ht.shape[1]
     v_pad = ws.shape[1]
-    n_n, n_v = n // BN, v_pad // BV
+    n_n, n_v = n // BN, _cdiv(v_pad, BV)
     _, _, rspec = _specs(d)
 
     tsum = _call_rows(
@@ -422,8 +471,10 @@ def fused_loca_sum(
 
     hs = _pad_to(student_hidden, BN, 0)
     ht = _pad_to(teacher_hidden, BN, 0)
-    ws = _pad_to(student_head, BV, 1)
-    wt = _pad_to(teacher_head[:, :v_real], BV, 1)
+    # vocab axis unpadded: ceil-div grid + cols<v_real masking (also
+    # truncates the teacher's extra vocab rows without a slice copy)
+    ws = student_head
+    wt = teacher_head
     lab = _pad_to(jnp.where(labels >= 0, labels, -1).astype(jnp.int32), BN, 0,
                   value=-1)
     if hs.shape[1] % 128 != 0:
@@ -488,7 +539,7 @@ def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref, labce_ref,
                      lses1_ref, golds1_ref,
                      sc_lsT, sc_lt, sc_g, sc_m1, sc_m2, sc_msT, sc_mt,
                      sc_ls1, sc_ms1, sc_gs,
-                     *, v_real: int, inv_t: float, n_v: int):
+                     *, v_real: int, inv_t: float, n_v: int, vd: bool):
     """_stats_kernel + student T=1 logsumexp + student CE gold logit."""
     j = pl.program_id(1)
 
@@ -505,7 +556,7 @@ def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref, labce_ref,
         sc_ms1[:] = jnp.full_like(sc_ms1, NEG)
         sc_gs[:] = jnp.zeros_like(sc_gs)
 
-    s_raw = _logits_block(hs_ref, ws_ref, 1.0)
+    s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
     t = _logits_block(ht_ref, wt_ref, inv_t)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
@@ -562,7 +613,8 @@ def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref, labce_ref,
 def _klts_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
                      lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
                      out_ref, tsum_ref, acc, acc_ts,
-                     *, v_real: int, inv_t: float, n_v: int, eps: float):
+                     *, v_real: int, inv_t: float, n_v: int, eps: float,
+                     vd: bool):
     """_kl_fwd_kernel that also emits tsum (sum of live loca) per row, so
     the backward skips its dedicated stats sweep."""
     j = pl.program_id(1)
@@ -572,7 +624,7 @@ def _klts_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         acc[:] = jnp.zeros_like(acc)
         acc_ts[:] = jnp.zeros_like(acc_ts)
 
-    s = _logits_block(hs_ref, ws_ref, inv_t)
+    s = _s_logits_block(hs_ref, ws_ref, inv_t, vd)
     t = _logits_block(ht_ref, wt_ref, inv_t)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
@@ -630,14 +682,15 @@ def _dhs_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
                    vmask_ref, lses1_ref, vmce_ref,
                    g_ref, gce_ref, tsum_ref,
                    dhs_ref, acc,
-                   *, v_real: int, inv_t: float, n_v: int, eps: float):
+                   *, v_real: int, inv_t: float, n_v: int, eps: float,
+                   vd: bool):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    s_raw = _logits_block(hs_ref, ws_ref, 1.0)
+    s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
     t = _logits_block(ht_ref, wt_ref, inv_t)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
@@ -647,8 +700,10 @@ def _dhs_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
         lses1_ref, vmce_ref, g_ref, gce_ref, tsum_ref, inv_t, eps,
     )
+    w = _masked_ws(ws_ref, j, v_real, vd)
     acc[:] = acc[:] + jax.lax.dot_general(
-        ds.astype(ws_ref.dtype), ws_ref[:], (((1,), (1,)), ((), ())),
+        ds.astype(w.dtype), w,
+        (((1,), (0,)), ((), ())) if vd else (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -662,14 +717,15 @@ def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
                    vmask_ref, lses1_ref, vmce_ref,
                    g_ref, gce_ref, tsum_ref,
                    dws_ref, acc,
-                   *, v_real: int, inv_t: float, n_n: int, eps: float):
+                   *, v_real: int, inv_t: float, n_n: int, eps: float,
+                   vd: bool):
     j, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    s_raw = _logits_block(hs_ref, ws_ref, 1.0)
+    s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
     t = _logits_block(ht_ref, wt_ref, inv_t)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
@@ -679,38 +735,48 @@ def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
         lses1_ref, vmce_ref, g_ref, gce_ref, tsum_ref, inv_t, eps,
     )
-    acc[:] = acc[:] + jax.lax.dot_general(
-        hs_ref[:], ds.astype(hs_ref.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if vd:
+        # d_head in the embedding's own [V, D] layout
+        acc[:] = acc[:] + jax.lax.dot_general(
+            ds.astype(hs_ref.dtype), hs_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc[:] = acc[:] + jax.lax.dot_general(
+            hs_ref[:], ds.astype(hs_ref.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(i == n_n - 1)
     def _():
         dws_ref[:] = acc[:].astype(dws_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
-def _loca_ce_rows(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha, eps):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _loca_ce_rows(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha,
+                  eps, vd):
     (kl, ce), _ = _loca_ce_rows_impl(
-        hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha, eps
+        hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha, eps, vd
     )
     return kl, ce
 
 
 def _loca_ce_rows_impl(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t,
-                       alpha, eps):
+                       alpha, eps, vd):
     n, d = hs.shape
     dt = ht.shape[1]
-    n_n, n_v = n // BN, ws.shape[1] // BV
-    hspec, cspec, rspec = _specs(d)
+    v_width = ws.shape[0] if vd else ws.shape[1]
+    n_n, n_v = n // BN, _cdiv(v_width, BV)
+    hspec, _, rspec = _specs(d)
     hspec_t, cspec_t, _ = _specs(dt)
+    wspec = _ws_block_spec(d, vd)
     lab2 = lab_loca[:, None].astype(jnp.int32)
     labce2 = lab_ce[:, None].astype(jnp.int32)
     outs = pl.pallas_call(
         functools.partial(_stats_ce_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v),
+                          n_v=n_v, vd=vd),
         grid=(n_n, n_v),
-        in_specs=[hspec, cspec, hspec_t, cspec_t, rspec, rspec],
+        in_specs=[hspec, wspec, hspec_t, cspec_t, rspec, rspec],
         out_specs=[rspec] * 7,
         out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 7,
         scratch_shapes=[pltpu.VMEM((BN, 128), jnp.float32)] * 10,
@@ -727,11 +793,12 @@ def _loca_ce_rows_impl(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t,
             tval[:, None], valid[:, None].astype(jnp.int32)]
     kl, tsum = _call_rows(
         functools.partial(_klts_fwd_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, eps=eps),
+                          n_v=n_v, eps=eps, vd=vd),
         hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
         [rspec, rspec],
         [jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 2,
         [pltpu.VMEM((BN, 128), jnp.float32)] * 2,
+        ws_spec=wspec,
     )
     valid_ce = (lab_ce >= 0).astype(jnp.float32)
     ce_rows = (lse_s1 - gold_s1) * valid_ce
@@ -740,20 +807,20 @@ def _loca_ce_rows_impl(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t,
 
 
 def _loca_ce_rows_fwd(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t,
-                      alpha, eps):
+                      alpha, eps, vd):
     (kl, ce), res = _loca_ce_rows_impl(
-        hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha, eps
+        hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha, eps, vd
     )
     return (kl, ce), (hs, ws, ht, wt) + res
 
 
-def _loca_ce_rows_bwd(v_real, inv_t, alpha, eps, res, g):
+def _loca_ce_rows_bwd(v_real, inv_t, alpha, eps, vd, res, g):
     hs, ws, ht, wt, rows, lab2, labce2, lse_s1, vmce, tsum = res
     g_kl, g_ce = g
     n, d = hs.shape
     dt = ht.shape[1]
-    v_pad = ws.shape[1]
-    n_n, n_v = n // BN, v_pad // BV
+    v_width = ws.shape[0] if vd else ws.shape[1]
+    n_n, n_v = n // BN, _cdiv(v_width, BV)
     hspec, _, _ = _specs(d)
     # kernel arg order: (..., lab2, labce2, lses, lset, sc_row, tval, vmask,
     #                    lses1, vmce, g, gce, tsum)
@@ -762,20 +829,21 @@ def _loca_ce_rows_bwd(v_real, inv_t, alpha, eps, res, g):
              g_ce[:, None].astype(jnp.float32), tsum)
     dhs = _call_rows(
         functools.partial(_dhs_ce_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, eps=eps),
+                          n_v=n_v, eps=eps, vd=vd),
         hs, ws, ht, wt, lab2, ordered_rows, n, d, dt, n_n, n_v,
         hspec, jax.ShapeDtypeStruct((n, d), hs.dtype),
         [pltpu.VMEM((BN, d), jnp.float32)],
-        extra=extra,
+        extra=extra, ws_spec=_ws_block_spec(d, vd),
     )
-    _, cspec2, _ = _specs(d, q_major=False)
     dws = _call_rows(
         functools.partial(_dws_ce_kernel, v_real=v_real, inv_t=inv_t,
-                          n_n=n_n, eps=eps),
+                          n_n=n_n, eps=eps, vd=vd),
         hs, ws, ht, wt, lab2, ordered_rows, n, d, dt, n_n, n_v,
-        cspec2, jax.ShapeDtypeStruct((d, v_pad), ws.dtype),
-        [pltpu.VMEM((d, BV), jnp.float32)],
+        _ws_block_spec(d, vd, q_major=False),
+        jax.ShapeDtypeStruct(ws.shape, ws.dtype),
+        [pltpu.VMEM((BV, d) if vd else (d, BV), jnp.float32)],
         extra=extra, q_major=False,
+        ws_spec=_ws_block_spec(d, vd, q_major=False),
     )
     return (dhs, dws, jnp.zeros_like(ht), jnp.zeros_like(wt), None, None)
 
@@ -793,22 +861,30 @@ def fused_loca_ce_sums(
     temperature: float = 1.0,
     alpha: float = 0.8,
     eps: float = 1e-8,
+    student_head_layout: str = "dv",
 ):
     """(LoCa row-sum total, CE NLL sum, CE valid count) in one pipeline.
+
+    ``student_head_layout="vd"`` consumes the head as [V, D] — the tied
+    student's embedding table natively, avoiding its 260 MB layout-copy
+    per step — and returns d_head in [V, D] too.
 
     ``loca_labels`` are the UNSHIFTED labels the calibration indexes
     (reference quirk, SURVEY.md §2.5 #3); ``ce_labels`` the shifted
     next-token targets with -100 ignored.  Row-sharded callers
     (ops/fused_spmd.py) psum all three before the global reductions.
     """
+    vd = student_head_layout == "vd"
     n = student_hidden.shape[0]
-    v_real = student_head.shape[1]
+    v_real = student_head.shape[0] if vd else student_head.shape[1]
     inv_t = 1.0 / temperature
 
     hs = _pad_to(student_hidden, BN, 0)
     ht = _pad_to(teacher_hidden, BN, 0)
-    ws = _pad_to(student_head, BV, 1)
-    wt = _pad_to(teacher_head[:, :v_real], BV, 1)
+    # vocab axis unpadded: ceil-div grid + cols<v_real masking (also
+    # truncates the teacher's extra vocab rows without a slice copy)
+    ws = student_head
+    wt = teacher_head
     lab = _pad_to(
         jnp.where(loca_labels >= 0, loca_labels, -1).astype(jnp.int32),
         BN, 0, value=-1,
@@ -819,13 +895,13 @@ def fused_loca_ce_sums(
     )
     if hs.shape[1] % 128 != 0:
         hs = _pad_to(hs, 128, 1)
-        ws = _pad_to(ws, 128, 0)
+        ws = _pad_to(ws, 128, 1 if vd else 0)
     if ht.shape[1] % 128 != 0:
         ht = _pad_to(ht, 128, 1)
         wt = _pad_to(wt, 128, 0)
 
     kl_rows, ce_rows = _loca_ce_rows(
-        hs, ws, ht, wt, lab, labce, v_real, inv_t, alpha, eps
+        hs, ws, ht, wt, lab, labce, v_real, inv_t, alpha, eps, vd
     )
     count = (ce_labels >= 0).sum()
     return kl_rows[:n].sum(), ce_rows[:n].sum(), count
@@ -841,15 +917,17 @@ def fused_loca_ce_loss(
     temperature: float = 1.0,
     alpha: float = 0.8,
     eps: float = 1e-8,
+    student_head_layout: str = "dv",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(LoCa loss, CE loss) — matches ``fused_loca_loss`` +
     ``fused_ce.fused_ce_loss`` exactly, at 4 head sweeps instead of 13."""
     n = student_hidden.shape[0]
-    v_real = student_head.shape[1]
+    v_real = (student_head.shape[0] if student_head_layout == "vd"
+              else student_head.shape[1])
     kl_sum, ce_sum, count = fused_loca_ce_sums(
         student_hidden, student_head, teacher_hidden, teacher_head,
         loca_labels, ce_labels, temperature=temperature, alpha=alpha,
-        eps=eps,
+        eps=eps, student_head_layout=student_head_layout,
     )
     loca = kl_sum / (n * v_real) * (temperature ** 2)
     ce = ce_sum / jnp.maximum(count, 1)

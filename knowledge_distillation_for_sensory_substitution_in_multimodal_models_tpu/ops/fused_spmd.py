@@ -252,32 +252,39 @@ def fused_loca_ce_loss_spmd(
     eps: float = 1e-8,
     *,
     local_impl: str = "pallas",
+    student_head_layout: str = "dv",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Row-sharded combined LoCa+CE (phases 2/3's whole logit loss in one
     pipeline — 4 head sweeps instead of 13, see ops/fused_loca.py).
 
     Returns (loca_loss, ce_loss) with the same global reductions as
     ``fused_loca_loss_spmd`` and ``fused_ce_loss_spmd``.
+    ``student_head_layout="vd"`` takes the tied student head as [V, D]
+    (the embedding natively — no transpose copy).
     """
     mesh = _abstract_mesh()
     n = student_hidden.shape[0]
+    vd = student_head_layout == "vd"
     axes = _row_axes(mesh, n) if mesh is not None else ()
     if not axes:
         return fused_loca_ce_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
             loca_labels, ce_labels, temperature=temperature, alpha=alpha,
-            eps=eps,
+            eps=eps, student_head_layout=student_head_layout,
         )
-    v_real = student_head.shape[1]
+    v_real = student_head.shape[0] if vd else student_head.shape[1]
 
     def local(hs, ht, lab, labce, ws, wt):
         if local_impl == "pallas":
             return fused_loca_ce_sums(
                 hs, ws, ht, wt, lab, labce,
                 temperature=temperature, alpha=alpha, eps=eps,
+                student_head_layout=student_head_layout,
             )
-        loca_sum = _loca_sum_xla(hs, ws, ht, wt, lab, temperature, alpha, eps)
-        ce_sum, count = _ce_sum_xla(hs, ws, labce)
+        ws_dv = ws.T if vd else ws
+        loca_sum = _loca_sum_xla(hs, ws_dv, ht, wt, lab, temperature,
+                                 alpha, eps)
+        ce_sum, count = _ce_sum_xla(hs, ws_dv, labce)
         return loca_sum, ce_sum, count
 
     kl_sum, ce_sum, count = _sharded_sums(

@@ -176,13 +176,20 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                 ).reshape(b * s_len)
             if fused_loca and fused_ce:
                 # phases 2/3 + logit_based: one combined pipeline computes
-                # both terms (4 head sweeps vs 13 — ops/fused_loca.py)
+                # both terms (4 head sweeps vs 13 — ops/fused_loca.py).
+                # A tied student head enters in its native [V, D] embedding
+                # layout — no 260 MB transpose copy of the 152k-row table.
+                if models.student.cfg.text.tie_word_embeddings:
+                    ws_fused = params["language_model"]["embed_tokens"]["embedding"]
+                    layout = "vd"
+                else:
+                    ws_fused, layout = ws, "dv"
                 metrics["loca"], metrics["ce"] = fused_loca_ce_loss_spmd(
-                    flat_h, ws,
+                    flat_h, ws_fused,
                     th.reshape(b * s_len, th.shape[-1]), wt,
                     labels.reshape(b * s_len), ce_labels,
                     temperature=lc.temperature, alpha=lc.loca_alpha,
-                    local_impl=impl,
+                    local_impl=impl, student_head_layout=layout,
                 )
             elif fused_ce:
                 metrics["ce"] = fused_ce_loss_spmd(

@@ -67,3 +67,43 @@ def test_fused_loca_ce_value_and_grads(n, ds, dt, v, vt, temp, alpha, gamma):
                                rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
                                rtol=2e-4, atol=2e-6)
+
+
+def test_fused_loca_ce_vd_layout_matches_dv():
+    """[V, D] student head (the tied embedding's native layout) must give
+    the same losses and the transposed gradient of the dv path."""
+    n, ds, dt, v, vt, temp, alpha = 64, 128, 256, 300, 340, 0.8, 0.8
+    rng = np.random.default_rng(3)
+    hs = jnp.asarray(rng.normal(size=(n, ds)).astype(np.float32))
+    ht = jnp.asarray(rng.normal(size=(n, dt)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(ds, v)).astype(np.float32) * 0.05)
+    wt = jnp.asarray(rng.normal(size=(dt, vt)).astype(np.float32) * 0.05)
+    loca_labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    loca_labels[:5] = -100
+    ce_labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    ce_labels[-4:] = -100
+    loca_labels, ce_labels = jnp.asarray(loca_labels), jnp.asarray(ce_labels)
+
+    def dv(hs_, ws_):
+        loca, ce = fused_loca_ce_loss(
+            hs_, ws_, ht, wt, loca_labels, ce_labels,
+            temperature=temp, alpha=alpha,
+        )
+        return 0.8 * loca + ce
+
+    def vd(hs_, wvd_):
+        loca, ce = fused_loca_ce_loss(
+            hs_, wvd_, ht, wt, loca_labels, ce_labels,
+            temperature=temp, alpha=alpha, student_head_layout="vd",
+        )
+        return 0.8 * loca + ce
+
+    with pltpu.force_tpu_interpret_mode():
+        want, (rh, rw) = jax.value_and_grad(dv, argnums=(0, 1))(hs, ws)
+        got, (gh, gwvd) = jax.value_and_grad(vd, argnums=(0, 1))(hs, ws.T)
+
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(rh),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(gwvd), np.asarray(rw).T,
+                               rtol=2e-4, atol=2e-6)
