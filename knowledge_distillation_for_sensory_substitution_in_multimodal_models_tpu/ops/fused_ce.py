@@ -53,8 +53,26 @@ def _masked_w(w_ref, j, v_real):
     return jnp.where(cols < v_real, w, jnp.zeros((), w.dtype))
 
 
+def _masked_w_any(w_ref, j, v_real, vd):
+    """_masked_w for either head layout: [d, BV] ("dv") or [BV, d] ("vd")."""
+    if not vd:
+        return _masked_w(w_ref, j, v_real)
+    w = w_ref[:]
+    rows = j * w.shape[0] + jax.lax.broadcasted_iota(
+        jnp.int32, (w.shape[0], 1), 0
+    )
+    return jnp.where(rows < v_real, w, jnp.zeros((), w.dtype))
+
+
+def _logits(h, w, vd):
+    """[bn, bv] logits block for a [d, bv] ("dv") or [bv, d] ("vd") head
+    block — vd is the tied embedding's native layout (see fused_loca.py)."""
+    dims = (((1,), (1,)), ((), ())) if vd else (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(h, w, dims, preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(h_ref, w_ref, lab_ref, lse_ref, gold_ref, m_sc, l_sc, g_sc,
-                *, v_real: int, bn: int, bv: int, n_v: int):
+                *, v_real: int, bn: int, bv: int, n_v: int, vd: bool):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -64,10 +82,7 @@ def _fwd_kernel(h_ref, w_ref, lab_ref, lse_ref, gold_ref, m_sc, l_sc, g_sc,
         g_sc[:] = jnp.zeros_like(g_sc)
 
     h = h_ref[:]
-    w = w_ref[:]
-    logits = jax.lax.dot_general(
-        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bn, bv]
+    logits = _logits(h, w_ref[:], vd)  # [bn, bv]
     cols = _col_ids(j, bn, bv)
     logits = jnp.where(cols < v_real, logits, NEG)
 
@@ -95,7 +110,7 @@ def _fwd_kernel(h_ref, w_ref, lab_ref, lse_ref, gold_ref, m_sc, l_sc, g_sc,
 
 
 def _dh_kernel(h_ref, w_ref, lab_ref, lse_ref, rs1_ref, rs2_ref, dh_ref, acc,
-               *, v_real: int, bn: int, bv: int, n_v: int):
+               *, v_real: int, bn: int, bv: int, n_v: int, vd: bool):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -103,10 +118,7 @@ def _dh_kernel(h_ref, w_ref, lab_ref, lse_ref, rs1_ref, rs2_ref, dh_ref, acc,
         acc[:] = jnp.zeros_like(acc)
 
     h = h_ref[:]
-    w = w_ref[:]
-    logits = jax.lax.dot_general(
-        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    logits = _logits(h, w_ref[:], vd)
     cols = _col_ids(j, bn, bv)
     logits = jnp.where(cols < v_real, logits, NEG)
     p = jnp.exp(logits - lse_ref[:, 0:1])
@@ -114,9 +126,11 @@ def _dh_kernel(h_ref, w_ref, lab_ref, lse_ref, rs1_ref, rs2_ref, dh_ref, acc,
     onehot = (cols == labels[:, None]).astype(jnp.float32)
     # d logits = g_lse * p + g_gold * onehot (general cotangents)
     p = p * rs1_ref[:, 0:1] + onehot * rs2_ref[:, 0:1]
-    p = jnp.where(cols < v_real, p, 0.0).astype(w.dtype)
+    p = jnp.where(cols < v_real, p, 0.0).astype(h.dtype)
+    w = _masked_w_any(w_ref, j, v_real, vd)
     acc[:] = acc[:] + jax.lax.dot_general(
-        p, _masked_w(w_ref, j, v_real), (((1,), (1,)), ((), ())),
+        p, w,
+        (((1,), (0,)), ((), ())) if vd else (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -126,7 +140,7 @@ def _dh_kernel(h_ref, w_ref, lab_ref, lse_ref, rs1_ref, rs2_ref, dh_ref, acc,
 
 
 def _dw_kernel(h_ref, w_ref, lab_ref, lse_ref, rs1_ref, rs2_ref, dw_ref, acc,
-               *, v_real: int, bn: int, bv: int, n_n: int):
+               *, v_real: int, bn: int, bv: int, n_n: int, vd: bool):
     j, i = pl.program_id(0), pl.program_id(1)  # grid (v, n), n innermost
 
     @pl.when(i == 0)
@@ -134,10 +148,7 @@ def _dw_kernel(h_ref, w_ref, lab_ref, lse_ref, rs1_ref, rs2_ref, dw_ref, acc,
         acc[:] = jnp.zeros_like(acc)
 
     h = h_ref[:]
-    w = w_ref[:]
-    logits = jax.lax.dot_general(
-        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    logits = _logits(h, w_ref[:], vd)
     cols = _col_ids(j, h.shape[0], logits.shape[1])
     logits = jnp.where(cols < v_real, logits, NEG)
     p = jnp.exp(logits - lse_ref[:, 0:1])
@@ -145,9 +156,16 @@ def _dw_kernel(h_ref, w_ref, lab_ref, lse_ref, rs1_ref, rs2_ref, dw_ref, acc,
     onehot = (cols == labels[:, None]).astype(jnp.float32)
     p = p * rs1_ref[:, 0:1] + onehot * rs2_ref[:, 0:1]
     p = jnp.where(cols < v_real, p, 0.0).astype(h.dtype)
-    acc[:] = acc[:] + jax.lax.dot_general(
-        h, p, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [d, bv]
+    if vd:
+        acc[:] = acc[:] + jax.lax.dot_general(
+            p, h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bv, d] — the embedding's own layout
+    else:
+        acc[:] = acc[:] + jax.lax.dot_general(
+            h, p, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [d, bv]
 
     @pl.when(i == n_n - 1)
     def _():
@@ -179,29 +197,42 @@ BN = int(_os.environ.get("KDSS_FUSED_BN", "256"))
 BV = int(_os.environ.get("KDSS_FUSED_BV", "512"))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _lse_gold(h, w, labels, v_real):
-    return _lse_gold_impl(h, w, labels, v_real)
+def _w_spec(d, vd, q_major=True):
+    if q_major:
+        col_dv = lambda i, j: (0, j)  # noqa: E731
+        col_vd = lambda i, j: (j, 0)  # noqa: E731
+    else:
+        col_dv = lambda j, i: (0, j)  # noqa: E731
+        col_vd = lambda j, i: (j, 0)  # noqa: E731
+    if vd:
+        return pl.BlockSpec((BV, d), col_vd, memory_space=pltpu.VMEM)
+    return pl.BlockSpec((d, BV), col_dv, memory_space=pltpu.VMEM)
 
 
-def _lse_gold_impl(h, w, labels, v_real) -> Tuple[jnp.ndarray, jnp.ndarray]:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _lse_gold(h, w, labels, v_real, vd=False):
+    return _lse_gold_impl(h, w, labels, v_real, vd)
+
+
+def _lse_gold_impl(h, w, labels, v_real, vd) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # The vocab grid is ceil-div: the head is NOT padded to a BV multiple
     # (a padded copy of a [D, 152k] head costs hundreds of MB of HLO temps
     # per head, PERF_NOTES) — edge-block reads past V are garbage that the
     # kernels' ``cols < v_real`` masks discard, and edge-block writes are
     # dropped by Pallas.  Verified on hardware before relying on it.
     n, d = h.shape
-    n_n, n_v = n // BN, _cdiv(w.shape[1], BV)
+    v_width = w.shape[0] if vd else w.shape[1]
+    n_n, n_v = n // BN, _cdiv(v_width, BV)
     lab2 = labels[:, None].astype(jnp.int32)
     kernel = functools.partial(
-        _fwd_kernel, v_real=v_real, bn=BN, bv=BV, n_v=n_v
+        _fwd_kernel, v_real=v_real, bn=BN, bv=BV, n_v=n_v, vd=vd
     )
     lse, gold = pl.pallas_call(
         kernel,
         grid=(n_n, n_v),
         in_specs=[
             pl.BlockSpec((BN, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, BV), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            _w_spec(d, vd),
             pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -224,17 +255,17 @@ def _lse_gold_impl(h, w, labels, v_real) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return lse[:, 0], gold[:, 0]
 
 
-def _lse_gold_fwd(h, w, labels, v_real):
-    out = _lse_gold_impl(h, w, labels, v_real)
+def _lse_gold_fwd(h, w, labels, v_real, vd):
+    out = _lse_gold_impl(h, w, labels, v_real, vd)
     return out, (h, w, labels, out[0])
 
 
-def _lse_gold_bwd(v_real, res, g):
+def _lse_gold_bwd(v_real, vd, res, g):
     h, w, labels, lse = res
     g_lse, g_gold = g  # [n] cotangents
     n, d = h.shape
-    v_pad = w.shape[1]  # == real head width (no BV padding)
-    n_n, n_v = n // BN, _cdiv(v_pad, BV)
+    v_width = w.shape[0] if vd else w.shape[1]  # real width (no BV padding)
+    n_n, n_v = n // BN, _cdiv(v_width, BV)
     lab2 = labels[:, None].astype(jnp.int32)
     lse2 = lse[:, None]
     # d lse / d logits = p ; d gold / d logits = onehot
@@ -242,11 +273,12 @@ def _lse_gold_bwd(v_real, res, g):
     rs2 = g_gold[:, None].astype(jnp.float32)
 
     dh = pl.pallas_call(
-        functools.partial(_dh_kernel, v_real=v_real, bn=BN, bv=BV, n_v=n_v),
+        functools.partial(_dh_kernel, v_real=v_real, bn=BN, bv=BV, n_v=n_v,
+                          vd=vd),
         grid=(n_n, n_v),
         in_specs=[
             pl.BlockSpec((BN, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, BV), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            _w_spec(d, vd),
             pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -262,20 +294,20 @@ def _lse_gold_bwd(v_real, res, g):
     )(h, w, lab2, lse2, rs1, rs2)
 
     dw = pl.pallas_call(
-        functools.partial(_dw_kernel, v_real=v_real, bn=BN, bv=BV, n_n=n_n),
+        functools.partial(_dw_kernel, v_real=v_real, bn=BN, bv=BV, n_n=n_n,
+                          vd=vd),
         grid=(n_v, n_n),
         in_specs=[
             pl.BlockSpec((BN, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, BV), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            _w_spec(d, vd, q_major=False),
             pl.BlockSpec((BN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BN, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((d, BV), lambda j, i: (0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d, v_pad), w.dtype),
-        scratch_shapes=[pltpu.VMEM((d, BV), jnp.float32)],
+        out_specs=_w_spec(d, vd, q_major=False),
+        out_shape=jax.ShapeDtypeStruct(w.shape, w.dtype),
+        scratch_shapes=[pltpu.VMEM((BV, d) if vd else (d, BV), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -287,14 +319,18 @@ def _lse_gold_bwd(v_real, res, g):
 _lse_gold.defvjp(_lse_gold_fwd, _lse_gold_bwd)
 
 
-def fused_ce_sum(hidden: jnp.ndarray, w: jnp.ndarray, labels: jnp.ndarray):
+def fused_ce_sum(hidden: jnp.ndarray, w: jnp.ndarray, labels: jnp.ndarray,
+                 w_layout: str = "dv"):
     """(sum of NLL over valid rows, valid count) — the pre-reduction CE.
 
     Split out of :func:`fused_ce_loss` so row-sharded callers
     (ops/fused_spmd.py) can psum the partial sums before dividing.
+    ``w_layout="vd"`` takes the head as [V, D] (a tied embedding natively,
+    no transpose copy) and returns its gradient in the same layout.
     """
+    vd = w_layout == "vd"
     n, d = hidden.shape
-    v_real = w.shape[1]
+    v_real = w.shape[0] if vd else w.shape[1]
     valid = labels != IGNORE
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
 
@@ -303,17 +339,19 @@ def fused_ce_sum(hidden: jnp.ndarray, w: jnp.ndarray, labels: jnp.ndarray):
     w_p = w  # vocab axis unpadded: ceil-div grid + cols<v_real masking
     if d % 128 != 0:
         h_p = _pad_to(h_p, 128, 1)
-        w_p = _pad_to(w_p, 128, 0)
+        w_p = _pad_to(w_p, 128, 1 if vd else 0)
 
-    lse, gold = _lse_gold(h_p, w_p, lab_p, v_real)
+    lse, gold = _lse_gold(h_p, w_p, lab_p, v_real, vd)
     nll = (lse - gold)[:n] * valid
     return nll.sum(), valid.sum()
 
 
-def fused_ce_loss(hidden: jnp.ndarray, w: jnp.ndarray, labels: jnp.ndarray):
+def fused_ce_loss(hidden: jnp.ndarray, w: jnp.ndarray, labels: jnp.ndarray,
+                  w_layout: str = "dv"):
     """Mean CE over ``labels != -100``; labels pre-shifted by the caller.
 
-    hidden [N, D] (any float dtype), w [D, V], labels [N] int.
+    hidden [N, D] (any float dtype), w [D, V] (or [V, D] with
+    ``w_layout="vd"``), labels [N] int.
     """
-    nll_sum, count = fused_ce_sum(hidden, w, labels)
+    nll_sum, count = fused_ce_sum(hidden, w, labels, w_layout=w_layout)
     return nll_sum / jnp.maximum(count, 1)

@@ -148,17 +148,18 @@ def fused_ce_loss_spmd(
     labels: jnp.ndarray,
     *,
     local_impl: str = "pallas",
+    w_layout: str = "dv",
 ) -> jnp.ndarray:
     """Row-sharded fused CE: mean NLL over ``labels != -100`` globally."""
     mesh = _abstract_mesh()
     axes = _row_axes(mesh, hidden.shape[0]) if mesh is not None else ()
     if not axes:
-        return fused_ce_loss(hidden, w, labels)
+        return fused_ce_loss(hidden, w, labels, w_layout=w_layout)
 
     def local(h, lab, w_):
         if local_impl == "pallas":
-            return fused_ce_sum(h, w_, lab)
-        return _ce_sum_xla(h, w_, lab)
+            return fused_ce_sum(h, w_, lab, w_layout=w_layout)
+        return _ce_sum_xla(h, w_.T if w_layout == "vd" else w_, lab)
 
     nll_sum, count = _sharded_sums(
         local, [hidden, labels], [w], axes, mesh, n_out=2

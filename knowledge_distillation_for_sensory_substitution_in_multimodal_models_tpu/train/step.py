@@ -192,8 +192,14 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                     local_impl=impl, student_head_layout=layout,
                 )
             elif fused_ce:
+                if models.student.cfg.text.tie_word_embeddings:
+                    ws_ce = params["language_model"]["embed_tokens"]["embedding"]
+                    ce_layout = "vd"
+                else:
+                    ws_ce, ce_layout = ws, "dv"
                 metrics["ce"] = fused_ce_loss_spmd(
-                    flat_h, ws, ce_labels, local_impl=impl,
+                    flat_h, ws_ce, ce_labels, local_impl=impl,
+                    w_layout=ce_layout,
                 )
             if fused_kl:
                 metrics["kl"] = fused_kl_loss_spmd(

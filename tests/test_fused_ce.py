@@ -50,3 +50,29 @@ def test_fused_ce_value_and_grads(n, d, v):
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(g_w), np.asarray(r_w),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_fused_ce_vd_layout_matches_dv():
+    """[V, D] head (tied embedding natively) == transposed dv path."""
+    n, d, v = 64, 128, 300
+    rng = np.random.default_rng(4)
+    h = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(d, v)).astype(np.float32) * 0.05)
+    labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    labels[:5] = -100
+    labels = jnp.asarray(labels)
+
+    with pltpu.force_tpu_interpret_mode():
+        want, (rh, rw) = jax.value_and_grad(
+            lambda h_, w_: fused_ce_loss(h_, w_, labels), argnums=(0, 1)
+        )(h, w)
+        got, (gh, gwvd) = jax.value_and_grad(
+            lambda h_, w_: fused_ce_loss(h_, w_, labels, w_layout="vd"),
+            argnums=(0, 1),
+        )(h, w.T)
+
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(rh),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gwvd), np.asarray(rw).T,
+                               atol=1e-5, rtol=1e-4)

@@ -167,6 +167,50 @@ def test_fused_loca_ce_spmd_matches_reference():
     _check(spmd, ref, (hs, ws), (hs, ws), mesh)
 
 
+def test_sharded_baseline_fused_step_matches_chunked_single_device():
+    """Baseline (CE-only) step with ce_impl=fused under a mesh — the tied
+    student head rides the [V, D] vd layout (no transpose copy)."""
+    scfg = llava_onevision_tiny()
+    student = LlavaOnevision(scfg)
+    batch = synthetic_kd_batch(scfg, batch_size=2, seq_len=96, accum=1, seed=9)
+    batch = jax.tree.map(jnp.asarray, batch)
+    micro = jax.tree.map(lambda x: x[0], batch)
+    sparams = student.init(
+        jax.random.PRNGKey(0),
+        input_ids=micro["student_input_ids"],
+        attention_mask=micro["student_attention_mask"],
+        pixel_values=micro["student_pixel_values"],
+        pack_idx=micro["pack_idx"],
+        pack_weight=micro["pack_weight"],
+        pack_valid=micro["pack_valid"],
+        tile_valid=micro["tile_valid"],
+    )["params"]
+    assert scfg.text.tie_word_embeddings  # the vd path is what's under test
+    models = KDModels(student, None)
+    tx = optax.adamw(1e-3)
+
+    ref_cfg = TrainConfig(kd_mode="baseline", loss_chunk_size=32,
+                          ce_impl="chunked")
+    state0 = TrainState.create(apply_fn=None, params=sparams, tx=tx)
+    _, ref_metrics = jax.jit(make_train_step(models, ref_cfg))(
+        state0, None, batch
+    )
+
+    fused_cfg = TrainConfig(kd_mode="baseline", loss_chunk_size=32,
+                            ce_impl="fused", fused_local_impl="xla")
+    mesh = make_mesh(MeshConfig(data=1, fsdp=2, tensor=4))
+    with jax.set_mesh(mesh):
+        sp = shard_params(sparams, mesh)
+        sb = shard_batch(batch, mesh)
+        state1 = TrainState.create(apply_fn=None, params=sp, tx=tx)
+        _, metrics = jax.jit(make_train_step(models, fused_cfg))(
+            state1, None, sb
+        )
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-4
+    )
+
+
 def test_sharded_kd_fused_step_matches_chunked_single_device():
     """Phase-3 KD step, ce_impl=fused, under the (1,2,4) mesh == the
     chunked single-device step (the multi-chip phases 2/3 program)."""
