@@ -101,6 +101,10 @@ class LlavaOnevision(nn.Module):
         """Gather-pack projected tile features into [B, M, Dt].
 
         bank[b] = concat(projected[b].reshape(P*T, D), image_newline).
+        The 4 bilinear taps run as sequential single-tap gathers: one
+        [B, M, 4, D] gather materializes ~175 MB per stream at the real
+        7B-teacher shapes (the top HLO temp of the B=2 step), while four
+        [B, M, D] gather+mul accumulations peak at ~1/4 of that.
         """
         b, p, t, d = projected.shape
         bank = jnp.concatenate(
@@ -113,10 +117,15 @@ class LlavaOnevision(nn.Module):
             ],
             axis=1,
         )
-        gathered = jax.vmap(lambda bank_b, idx_b: bank_b[idx_b])(
-            bank, pack_idx.astype(jnp.int32)
-        )  # [B, M, 4, D]
-        packed = (gathered * pack_weight[..., None].astype(projected.dtype)).sum(axis=2)
+        idx = pack_idx.astype(jnp.int32)
+        w = pack_weight.astype(projected.dtype)
+        packed = None
+        for k in range(pack_idx.shape[-1]):
+            tap = jax.vmap(lambda bank_b, idx_b: bank_b[idx_b])(
+                bank, idx[:, :, k]
+            )  # [B, M, D]
+            term = tap * w[:, :, k][..., None]
+            packed = term if packed is None else packed + term
         return packed * pack_valid[..., None].astype(projected.dtype)
 
     def merge_image_features(self, input_ids, inputs_embeds, packed):
