@@ -22,39 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_ce import BN, BV, NEG, _cdiv, _col_ids, _lse_gold, _masked_w, _pad_to
-
-
-def _kl_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
-                   kl_ref, acc,
-                   *, v_real: int, inv_t: float, n_v: int):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        acc[:] = jnp.zeros_like(acc)
-
-    s = jax.lax.dot_general(
-        hs_ref[:], ws_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_t
-    t = jax.lax.dot_general(
-        ht_ref[:], wt_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_t
-    cols = _col_ids(j, s.shape[0], s.shape[1])
-    in_vocab = cols < v_real
-    log_pt = jnp.where(in_vocab, t - lset_ref[:, 0:1], NEG)
-    log_ps = s - lses_ref[:, 0:1]
-    pt = jnp.where(in_vocab, jnp.exp(log_pt), 0.0)
-    el = jnp.where(in_vocab, pt * (log_pt - log_ps), 0.0)
-    acc[:] = acc[:] + jnp.broadcast_to(
-        jnp.sum(el, axis=1, keepdims=True), acc.shape
-    )
-
-    @pl.when(j == n_v - 1)
-    def _():
-        kl_ref[:] = acc[:, 0:1]
+from .fused_ce import BN, BV, NEG, _cdiv, _col_ids, _masked_w, _pad_to
 
 
 def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
@@ -140,31 +108,103 @@ def _kl_rows(hs, ws, ht, wt, v_real, inv_t):
     return _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t)[0]
 
 
-def _lses(h, w, v_real, inv_t):
-    dummy = jnp.zeros((h.shape[0],), jnp.int32)
-    lse, _ = _lse_gold(h * inv_t, w, dummy, v_real)
-    return lse
+def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref,
+                    kl_ref, ls_ref, lt_ref,
+                    sc_ms, sc_zs, sc_mt, sc_zt, sc_u, sc_w,
+                    *, v_real: int, inv_t: float, n_v: int):
+    """ONE sweep for the whole KL forward (replaces 2 lse passes + a KL
+    pass).  Uses the decomposition
+
+      KL_row = sum_v p_t (t - s) - lt + ls
+             = (U - W) / Zt - lt + ls
+
+    with U = Σ e^(t-mt)·t, W = Σ e^(t-mt)·s, Zt = Σ e^(t-mt) — all three
+    (plus the student's own online lse) rescale under the running-max
+    update exactly like a flash-attention accumulator."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        sc_ms[:] = jnp.full_like(sc_ms, NEG)
+        sc_zs[:] = jnp.zeros_like(sc_zs)
+        sc_mt[:] = jnp.full_like(sc_mt, NEG)
+        sc_zt[:] = jnp.zeros_like(sc_zt)
+        sc_u[:] = jnp.zeros_like(sc_u)
+        sc_w[:] = jnp.zeros_like(sc_w)
+
+    s = jax.lax.dot_general(
+        hs_ref[:], ws_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_t
+    t = jax.lax.dot_general(
+        ht_ref[:], wt_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_t
+    cols = _col_ids(j, s.shape[0], s.shape[1])
+    in_vocab = cols < v_real
+    s = jnp.where(in_vocab, s, NEG)
+    t = jnp.where(in_vocab, t, NEG)
+
+    # student online lse
+    ms_prev = sc_ms[:, 0:1]
+    ms_new = jnp.maximum(ms_prev, jnp.max(s, axis=1, keepdims=True))
+    sc_zs[:] = jnp.broadcast_to(
+        sc_zs[:, 0:1] * jnp.exp(ms_prev - ms_new)
+        + jnp.sum(jnp.exp(s - ms_new), axis=1, keepdims=True),
+        sc_zs.shape,
+    )
+    sc_ms[:] = jnp.broadcast_to(ms_new, sc_ms.shape)
+
+    # teacher online (Zt, U, W) under one rescale
+    mt_prev = sc_mt[:, 0:1]
+    mt_new = jnp.maximum(mt_prev, jnp.max(t, axis=1, keepdims=True))
+    alpha = jnp.exp(mt_prev - mt_new)
+    p_blk = jnp.exp(t - mt_new)  # 0 at masked/padding cols (t = NEG)
+    # mask the PRODUCTS: 0 * NEG = NaN otherwise
+    ut = jnp.where(in_vocab, p_blk * t, 0.0)
+    wt_b = jnp.where(in_vocab, p_blk * s, 0.0)
+    sc_zt[:] = jnp.broadcast_to(
+        sc_zt[:, 0:1] * alpha + jnp.sum(p_blk, axis=1, keepdims=True),
+        sc_zt.shape,
+    )
+    sc_u[:] = jnp.broadcast_to(
+        sc_u[:, 0:1] * alpha + jnp.sum(ut, axis=1, keepdims=True),
+        sc_u.shape,
+    )
+    sc_w[:] = jnp.broadcast_to(
+        sc_w[:, 0:1] * alpha + jnp.sum(wt_b, axis=1, keepdims=True),
+        sc_w.shape,
+    )
+    sc_mt[:] = jnp.broadcast_to(mt_new, sc_mt.shape)
+
+    @pl.when(j == n_v - 1)
+    def _():
+        zt = sc_zt[:, 0:1]
+        ls = sc_ms[:, 0:1] + jnp.log(sc_zs[:, 0:1])
+        lt = sc_mt[:, 0:1] + jnp.log(zt)
+        ls_ref[:] = ls
+        lt_ref[:] = lt
+        kl_ref[:] = (sc_u[:, 0:1] - sc_w[:, 0:1]) / zt - lt + ls
 
 
 def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t):
     n, d = hs.shape
     n_n, n_v = n // BN, _cdiv(ws.shape[1], BV)
-    lse_s = _lses(hs, ws, v_real, inv_t)
-    lse_t = _lses(ht, wt, v_real, inv_t)
     hspec, cspec, rspec = _row_specs(d)
     hspec_t, cspec_t, _ = _row_specs(ht.shape[1])
-    kl = pl.pallas_call(
-        functools.partial(_kl_fwd_kernel, v_real=v_real, inv_t=inv_t, n_v=n_v),
+    kl, ls, lt = pl.pallas_call(
+        functools.partial(_kl_fwd1_kernel, v_real=v_real, inv_t=inv_t,
+                          n_v=n_v),
         grid=(n_n, n_v),
-        in_specs=[hspec, cspec, hspec_t, cspec_t, rspec, rspec],
-        out_specs=rspec,
-        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((BN, 128), jnp.float32)],
+        in_specs=[hspec, cspec, hspec_t, cspec_t],
+        out_specs=[rspec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((BN, 128), jnp.float32)] * 6,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(hs, ws, ht, wt, lse_s[:, None], lse_t[:, None])
-    return kl[:, 0], (lse_s, lse_t)
+    )(hs, ws, ht, wt)
+    return kl[:, 0], (ls[:, 0], lt[:, 0])
 
 
 def _kl_rows_fwd(hs, ws, ht, wt, v_real, inv_t):
