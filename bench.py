@@ -360,12 +360,37 @@ def bench_generation(args) -> dict:
     tok_s = new_tokens / dt
     print(f"[generation] {dt*1e3:.0f} ms / {new_tokens} tokens "
           f"(prompt {seq_len}) = {tok_s:.1f} tok/s", file=sys.stderr)
-    return {
+
+    out = {
         "tok_per_sec": round(tok_s, 1),
         "ms_per_call": round(dt * 1e3, 1),
         "prompt_len": seq_len,
         "new_tokens": new_tokens,
     }
+    if args.decode_marginal and not args.cpu:
+        # steady-state decode rate: marginal tokens/sec between a 32- and a
+        # 96-token run at the same prompt (subtracts the shared prefill,
+        # which dominates the headline tok/s above)
+        gen2 = Generator(model, scfg,
+                         GenerateConfig(max_new_tokens=new_tokens + 64,
+                                        eos_token_id=-1))
+
+        def run2():
+            o = gen2.generate(params, jb)
+            return jax.device_get(o["sequences"][:, -1])
+
+        run2()  # compile
+        run2()  # warm
+        t0 = time.time()
+        for _ in range(reps):
+            run2()
+        dt2 = (time.time() - t0) / reps
+        marginal = 64 / max(dt2 - dt, 1e-6)
+        print(f"[generation] marginal decode: {marginal:.1f} tok/s "
+              f"({dt2*1e3:.0f} ms at {new_tokens + 64} tokens)",
+              file=sys.stderr)
+        out["decode_tok_per_sec"] = round(marginal, 1)
+    return out
 
 
 def main() -> None:
@@ -386,6 +411,10 @@ def main() -> None:
                     help="int8: w8a8 decoder-block matmuls for the frozen "
                     "teacher (MXU int8 path measures ~1.6x bf16; halves "
                     "teacher weight HBM) — see ops/int8.py")
+    ap.add_argument("--decode_marginal", action="store_true",
+                    help="generation mode: also measure the steady-state "
+                    "decode tok/s (marginal rate between 32- and 96-token "
+                    "runs; the headline tok/s is prefill-dominated)")
     ap.add_argument("--mu_dtype", choices=["f32", "bf16"], default="f32",
                     help="bf16: Adam first moment in bf16 (-1 GB HBM on "
                     "the 0.5B student; what lets KD phase-3 fit B=2)")
