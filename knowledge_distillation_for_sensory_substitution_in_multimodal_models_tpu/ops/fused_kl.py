@@ -22,22 +22,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_ce import BN, BV, NEG, _cdiv, _col_ids, _masked_w, _pad_to
+from .fused_ce import (BN, BV, NEG, _cdiv, _col_ids, _logits,
+                       _masked_w_any, _pad_to, _w_spec)
 
 
 def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
                    g_ref, dhs_ref, acc,
-                   *, v_real: int, inv_t: float, n_v: int):
+                   *, v_real: int, inv_t: float, n_v: int, vd: bool):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    s = jax.lax.dot_general(
-        hs_ref[:], ws_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_t
+    s = _logits(hs_ref[:], ws_ref[:], vd) * inv_t
     t = jax.lax.dot_general(
         ht_ref[:], wt_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -48,7 +46,8 @@ def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
     pt = jnp.where(in_vocab, jnp.exp(t - lset_ref[:, 0:1]), 0.0)
     ds = ((ps - pt) * g_ref[:, 0:1] * inv_t).astype(ws_ref.dtype)
     acc[:] = acc[:] + jax.lax.dot_general(
-        ds, _masked_w(ws_ref, j, v_real), (((1,), (1,)), ((), ())),
+        ds, _masked_w_any(ws_ref, j, v_real, vd),
+        (((1,), (0,)), ((), ())) if vd else (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -59,17 +58,14 @@ def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
 
 def _kl_dws_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
                    g_ref, dws_ref, acc,
-                   *, v_real: int, inv_t: float, n_n: int):
+                   *, v_real: int, inv_t: float, n_n: int, vd: bool):
     j, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    s = jax.lax.dot_general(
-        hs_ref[:], ws_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_t
+    s = _logits(hs_ref[:], ws_ref[:], vd) * inv_t
     t = jax.lax.dot_general(
         ht_ref[:], wt_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -79,10 +75,16 @@ def _kl_dws_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
     ps = jnp.where(in_vocab, jnp.exp(s - lses_ref[:, 0:1]), 0.0)
     pt = jnp.where(in_vocab, jnp.exp(t - lset_ref[:, 0:1]), 0.0)
     ds = ((ps - pt) * g_ref[:, 0:1] * inv_t).astype(hs_ref.dtype)
-    acc[:] = acc[:] + jax.lax.dot_general(
-        hs_ref[:], ds, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if vd:
+        acc[:] = acc[:] + jax.lax.dot_general(
+            ds, hs_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bv, d] — embedding layout
+    else:
+        acc[:] = acc[:] + jax.lax.dot_general(
+            hs_ref[:], ds, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(i == n_n - 1)
     def _():
@@ -103,15 +105,15 @@ def _row_specs(d, q_major=True):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _kl_rows(hs, ws, ht, wt, v_real, inv_t):
-    return _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _kl_rows(hs, ws, ht, wt, v_real, inv_t, vd=False):
+    return _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd)[0]
 
 
 def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref,
                     kl_ref, ls_ref, lt_ref,
                     sc_ms, sc_zs, sc_mt, sc_zt, sc_u, sc_w,
-                    *, v_real: int, inv_t: float, n_v: int):
+                    *, v_real: int, inv_t: float, n_v: int, vd: bool):
     """ONE sweep for the whole KL forward (replaces 2 lse passes + a KL
     pass).  Uses the decomposition
 
@@ -132,10 +134,7 @@ def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref,
         sc_u[:] = jnp.zeros_like(sc_u)
         sc_w[:] = jnp.zeros_like(sc_w)
 
-    s = jax.lax.dot_general(
-        hs_ref[:], ws_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_t
+    s = _logits(hs_ref[:], ws_ref[:], vd) * inv_t
     t = jax.lax.dot_general(
         ht_ref[:], wt_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -187,16 +186,17 @@ def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref,
         kl_ref[:] = (sc_u[:, 0:1] - sc_w[:, 0:1]) / zt - lt + ls
 
 
-def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t):
+def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd):
     n, d = hs.shape
-    n_n, n_v = n // BN, _cdiv(ws.shape[1], BV)
-    hspec, cspec, rspec = _row_specs(d)
+    v_width = ws.shape[0] if vd else ws.shape[1]
+    n_n, n_v = n // BN, _cdiv(v_width, BV)
+    hspec, _, rspec = _row_specs(d)
     hspec_t, cspec_t, _ = _row_specs(ht.shape[1])
     kl, ls, lt = pl.pallas_call(
         functools.partial(_kl_fwd1_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v),
+                          n_v=n_v, vd=vd),
         grid=(n_n, n_v),
-        in_specs=[hspec, cspec, hspec_t, cspec_t],
+        in_specs=[hspec, _w_spec(d, vd), hspec_t, cspec_t],
         out_specs=[rspec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 3,
         scratch_shapes=[pltpu.VMEM((BN, 128), jnp.float32)] * 6,
@@ -207,24 +207,26 @@ def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t):
     return kl[:, 0], (ls[:, 0], lt[:, 0])
 
 
-def _kl_rows_fwd(hs, ws, ht, wt, v_real, inv_t):
-    kl, (lse_s, lse_t) = _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t)
+def _kl_rows_fwd(hs, ws, ht, wt, v_real, inv_t, vd):
+    kl, (lse_s, lse_t) = _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd)
     return kl, (hs, ws, ht, wt, lse_s, lse_t)
 
 
-def _kl_rows_bwd(v_real, inv_t, res, g):
+def _kl_rows_bwd(v_real, inv_t, vd, res, g):
     hs, ws, ht, wt, lse_s, lse_t = res
     n, d = hs.shape
-    v_pad = ws.shape[1]
-    n_n, n_v = n // BN, _cdiv(v_pad, BV)
+    v_width = ws.shape[0] if vd else ws.shape[1]
+    n_n, n_v = n // BN, _cdiv(v_width, BV)
     g2 = g[:, None].astype(jnp.float32)
     hspec, cspec, rspec = _row_specs(d)
     hspec_t, cspec_t, _ = _row_specs(ht.shape[1])
 
     dhs = pl.pallas_call(
-        functools.partial(_kl_dhs_kernel, v_real=v_real, inv_t=inv_t, n_v=n_v),
+        functools.partial(_kl_dhs_kernel, v_real=v_real, inv_t=inv_t,
+                          n_v=n_v, vd=vd),
         grid=(n_n, n_v),
-        in_specs=[hspec, cspec, hspec_t, cspec_t, rspec, rspec, rspec],
+        in_specs=[hspec, _w_spec(d, vd), hspec_t, cspec_t,
+                  rspec, rspec, rspec],
         out_specs=hspec,
         out_shape=jax.ShapeDtypeStruct((n, d), hs.dtype),
         scratch_shapes=[pltpu.VMEM((BN, d), jnp.float32)],
@@ -236,12 +238,14 @@ def _kl_rows_bwd(v_real, inv_t, res, g):
     hspec2, cspec2, rspec2 = _row_specs(d, q_major=False)
     hspec2_t, cspec2_t, _ = _row_specs(ht.shape[1], q_major=False)
     dws = pl.pallas_call(
-        functools.partial(_kl_dws_kernel, v_real=v_real, inv_t=inv_t, n_n=n_n),
+        functools.partial(_kl_dws_kernel, v_real=v_real, inv_t=inv_t,
+                          n_n=n_n, vd=vd),
         grid=(n_v, n_n),
-        in_specs=[hspec2, cspec2, hspec2_t, cspec2_t, rspec2, rspec2, rspec2],
-        out_specs=cspec2,
-        out_shape=jax.ShapeDtypeStruct((d, v_pad), ws.dtype),
-        scratch_shapes=[pltpu.VMEM((d, BV), jnp.float32)],
+        in_specs=[hspec2, _w_spec(d, vd, q_major=False), hspec2_t, cspec2_t,
+                  rspec2, rspec2, rspec2],
+        out_specs=_w_spec(d, vd, q_major=False),
+        out_shape=jax.ShapeDtypeStruct(ws.shape, ws.dtype),
+        scratch_shapes=[pltpu.VMEM((BV, d) if vd else (d, BV), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -262,14 +266,18 @@ def fused_kl_sum(
     teacher_hidden: jnp.ndarray,
     teacher_head: jnp.ndarray,
     temperature: float = 1.0,
+    student_head_layout: str = "dv",
 ) -> jnp.ndarray:
     """Sum over rows of sum_v p_T (log p_T - log p_S) — pre-reduction KL.
 
     Split out of :func:`fused_kl_loss` so row-sharded callers
     (ops/fused_spmd.py) can psum partial sums before the global mean.
+    ``student_head_layout="vd"`` takes the student head as [V, D] (the
+    tied embedding natively — no transpose copy; see fused_loca.py).
     """
+    vd = student_head_layout == "vd"
     n, _ = student_hidden.shape
-    v_real = student_head.shape[1]
+    v_real = student_head.shape[0] if vd else student_head.shape[1]
     inv_t = 1.0 / temperature
 
     hs = _pad_to(student_hidden, BN, 0)
@@ -280,12 +288,12 @@ def fused_kl_sum(
     wt = teacher_head
     if hs.shape[1] % 128 != 0:
         hs = _pad_to(hs, 128, 1)
-        ws = _pad_to(ws, 128, 0)
+        ws = _pad_to(ws, 128, 1 if vd else 0)
     if ht.shape[1] % 128 != 0:
         ht = _pad_to(ht, 128, 1)
         wt = _pad_to(wt, 128, 0)
 
-    kl_rows = _kl_rows(hs, ws, ht, wt, v_real, inv_t)
+    kl_rows = _kl_rows(hs, ws, ht, wt, v_real, inv_t, vd)
     return kl_rows[:n].sum()
 
 
@@ -295,6 +303,7 @@ def fused_kl_loss(
     teacher_hidden: jnp.ndarray,
     teacher_head: jnp.ndarray,
     temperature: float = 1.0,
+    student_head_layout: str = "dv",
 ) -> jnp.ndarray:
     """mean_el[ p_T (log p_T - log p_S) ] * T^2 over [N, V] (torch 'mean').
 
@@ -303,9 +312,10 @@ def fused_kl_loss(
     constants (zero cotangent), matching the KD stop-gradient.
     """
     n = student_hidden.shape[0]
-    v_real = student_head.shape[1]
+    v_real = (student_head.shape[0] if student_head_layout == "vd"
+              else student_head.shape[1])
     total = fused_kl_sum(
         student_hidden, student_head, teacher_hidden, teacher_head,
-        temperature=temperature,
+        temperature=temperature, student_head_layout=student_head_layout,
     )
     return total / (n * v_real) * (temperature ** 2)

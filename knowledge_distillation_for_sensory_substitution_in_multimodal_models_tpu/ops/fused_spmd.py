@@ -175,22 +175,25 @@ def fused_kl_loss_spmd(
     temperature: float = 1.0,
     *,
     local_impl: str = "pallas",
+    student_head_layout: str = "dv",
 ) -> jnp.ndarray:
     """Row-sharded fused KL, torch-'mean' reduction * T^2 over global N·V."""
     mesh = _abstract_mesh()
     n = student_hidden.shape[0]
+    vd = student_head_layout == "vd"
     axes = _row_axes(mesh, n) if mesh is not None else ()
     if not axes:
         return fused_kl_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
-            temperature=temperature,
+            temperature=temperature, student_head_layout=student_head_layout,
         )
-    v_real = student_head.shape[1]
+    v_real = student_head.shape[0] if vd else student_head.shape[1]
 
     def local(hs, ht, ws, wt):
         if local_impl == "pallas":
-            return fused_kl_sum(hs, ws, ht, wt, temperature=temperature)
-        return _kl_sum_xla(hs, ws, ht, wt, temperature)
+            return fused_kl_sum(hs, ws, ht, wt, temperature=temperature,
+                                student_head_layout=student_head_layout)
+        return _kl_sum_xla(hs, ws.T if vd else ws, ht, wt, temperature)
 
     total = _sharded_sums(
         local, [student_hidden, teacher_hidden],

@@ -202,10 +202,16 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                     w_layout=ce_layout,
                 )
             if fused_kl:
+                if models.student.cfg.text.tie_word_embeddings:
+                    ws_kl = params["language_model"]["embed_tokens"]["embedding"]
+                    kl_layout = "vd"
+                else:
+                    ws_kl, kl_layout = ws, "dv"
                 metrics["kl"] = fused_kl_loss_spmd(
-                    flat_h, ws,
+                    flat_h, ws_kl,
                     th.reshape(b * s_len, th.shape[-1]), wt,
                     temperature=lc.temperature, local_impl=impl,
+                    student_head_layout=kl_layout,
                 )
             if fused_loca and not fused_ce:
                 metrics["loca"] = fused_loca_loss_spmd(

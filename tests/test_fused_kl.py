@@ -49,3 +49,30 @@ def test_fused_kl_value_and_grads(n, ds, dt, v, vt, temp):
                                atol=1e-6, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(g_w), np.asarray(r_w),
                                atol=1e-6, rtol=1e-4)
+
+
+def test_fused_kl_vd_layout_matches_dv():
+    """[V, D] student head (tied embedding natively) == transposed dv path."""
+    n, ds, dt, v, vt, temp = 64, 128, 256, 300, 340, 0.8
+    rng = np.random.default_rng(5)
+    hs = jnp.asarray(rng.normal(size=(n, ds)).astype(np.float32))
+    ht = jnp.asarray(rng.normal(size=(n, dt)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(ds, v)).astype(np.float32) * 0.05)
+    wt = jnp.asarray(rng.normal(size=(dt, vt)).astype(np.float32) * 0.05)
+
+    with pltpu.force_tpu_interpret_mode():
+        want, (rh, rw) = jax.value_and_grad(
+            lambda h_, w_: fused_kl_loss(h_, w_, ht, wt, temperature=temp),
+            argnums=(0, 1),
+        )(hs, ws)
+        got, (gh, gwvd) = jax.value_and_grad(
+            lambda h_, w_: fused_kl_loss(h_, w_, ht, wt, temperature=temp,
+                                         student_head_layout="vd"),
+            argnums=(0, 1),
+        )(hs, ws.T)
+
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(rh),
+                               atol=1e-6, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gwvd), np.asarray(rw).T,
+                               atol=1e-6, rtol=1e-4)
