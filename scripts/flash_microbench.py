@@ -11,6 +11,7 @@ Usage: python scripts/flash_microbench.py [--bwd] [--iters 50]
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -26,7 +27,14 @@ def main():
     ap.add_argument("--kv_heads", type=int, default=2)
     ap.add_argument("--head_dim", type=int, default=64)
     ap.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--stock_blocks", action="store_true",
+                    help="skip the production big-block budgets")
     args = ap.parse_args()
+
+    if not args.stock_blocks:
+        # mirror bench.py's production kernel configuration
+        os.environ.setdefault("KDSS_FLASH_ROWS", "7168")
+        os.environ.setdefault("KDSS_FLASH_BK", "1024")
 
     import jax
     import jax.numpy as jnp
@@ -52,7 +60,10 @@ def main():
     else:
         one_pass = one
 
-    @jax.jit
+    opts = (None if args.stock_blocks
+            else {"xla_tpu_scoped_vmem_limit_kib": "98304"})
+
+    @lambda f: jax.jit(f, compiler_options=opts)
     def chain(q, k, v):
         def body(c, _):
             o = one_pass(c, k, v)
