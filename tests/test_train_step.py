@@ -172,3 +172,32 @@ def test_cosine_schedule_matches_torch():
         want = 1e-5 * (1 + math.cos(math.pi * epoch / 10)) / 2
         got = float(sched(epoch * 7 + 3))
         assert abs(got - want) < 1e-12
+
+
+def test_adamw_step_matches_torch():
+    """Three optimizer steps vs torch.optim.AdamW on identical grads —
+    pins the decoupled-weight-decay semantics the reference trains with
+    (`phase1/OnlineKnowledge...` configure_optimizers)."""
+    import torch
+
+    rng = np.random.default_rng(8)
+    w0 = rng.normal(size=(8, 6)).astype(np.float32)
+    grads = [rng.normal(size=(8, 6)).astype(np.float32) for _ in range(3)]
+    lr, wd = 1e-3, 0.01
+
+    p = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.AdamW([p], lr=lr, betas=(0.9, 0.999), eps=1e-8,
+                            weight_decay=wd)
+    for g in grads:
+        p.grad = torch.tensor(g)
+        opt.step()
+    want = p.detach().numpy()
+
+    params = {"w": jnp.asarray(w0)}
+    tx = make_optimizer(params, lr, weight_decay=wd)
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), want,
+                               rtol=1e-5, atol=1e-6)
