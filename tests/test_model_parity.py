@@ -206,3 +206,63 @@ def test_multimodal_parity(hf_model, flax_params, orig_sizes):
     assert vf.shape[:2] == (bsz, max_tiles)
     assert np.all(vf[~tile_valid] == 0.0)
     assert np.any(vf[tile_valid] != 0.0)
+
+
+def test_multimodal_generate_matches_hf(hf_model, flax_params):
+    """FULL eval-path parity: multimodal prefill + greedy decode with the
+    reference's penalty config, token-exact vs HF ``generate`` (the
+    library the reference decodes with, `evaluate_onevision.py:186-195`)."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.eval.decode import (
+        GenerateConfig,
+        Generator,
+    )
+
+    orig_sizes = [(45, 67)]
+    pv, image_sizes, _ = _hf_image_inputs(orig_sizes)
+    v, ts, pins = CFG.vision, CFG.vision.tokens_per_side, CFG.image_grid_pinpoints
+    n = num_image_tokens(orig_sizes[0], pins, v.image_size, ts,
+                         CFG.vision_aspect_ratio_max)
+    rng = np.random.default_rng(4)
+    seq = (list(rng.integers(5, 400, size=4)) + [CFG.image_token_id] * n
+           + list(rng.integers(5, 400, size=3)))
+    ids = np.asarray([seq], dtype=np.int64)
+    mask = np.ones_like(ids)
+    new = 8
+
+    with torch.no_grad():
+        hf_out = hf_model.generate(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            pixel_values=torch.tensor(pv, dtype=torch.float32),
+            image_sizes=torch.tensor(np.asarray(image_sizes)),
+            max_new_tokens=new, do_sample=False,
+            repetition_penalty=1.2, no_repeat_ngram_size=2,
+            eos_token_id=None, pad_token_id=0,
+        )
+    want = np.asarray(hf_out)[:, ids.shape[1]:]
+
+    max_tiles = CFG.max_tiles
+    nt = num_tiles(orig_sizes[0], pins, v.image_size)
+    pv_padded = np.zeros((1, max_tiles, v.image_size, v.image_size, 3),
+                         np.float32)
+    pv_padded[0, :nt] = pv[0, :nt].transpose(0, 2, 3, 1)
+    tile_valid = np.zeros((1, max_tiles), bool)
+    tile_valid[0, :nt] = True
+    spec = build_pack_spec(orig_sizes[0], pins, v.image_size, ts,
+                           CFG.vision_aspect_ratio_max, max_tiles,
+                           CFG.max_image_tokens)
+    pack_idx, pack_w, pack_valid = stack_pack_specs([spec])
+
+    gen = Generator(LlavaOnevision(CFG), CFG,
+                    GenerateConfig(max_new_tokens=new, eos_token_id=-1))
+    out = gen.generate(flax_params, {
+        "student_input_ids": jnp.asarray(ids),
+        "student_attention_mask": jnp.asarray(mask),
+        "student_pixel_values": jnp.asarray(pv_padded),
+        "pack_idx": jnp.asarray(pack_idx),
+        "pack_weight": jnp.asarray(pack_w),
+        "pack_valid": jnp.asarray(pack_valid),
+        "tile_valid": jnp.asarray(tile_valid),
+    })
+    got = np.asarray(out["sequences"])[:, ids.shape[1]:ids.shape[1] + new]
+    np.testing.assert_array_equal(got, want)
