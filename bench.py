@@ -42,6 +42,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -192,17 +193,23 @@ def bench_train(args, mode: str) -> dict:
     sparams = _materialize(_shapes(student, micro, 0, "student"), 0, dtype)
 
     if mode == "kd":
-        teacher = LlavaOnevision(tcfg, dtype=dtype, remat=remat,
-                                 remat_vision=remat_vision,
-                                 attn_impl=attn_impl,
-                                 lm_quant=args.teacher_quant)
+        tq = args.teacher_quant
+        teacher = LlavaOnevision(
+            tcfg, dtype=dtype, remat=remat, remat_vision=remat_vision,
+            attn_impl=attn_impl,
+            lm_quant="int8" if tq in ("int8", "int8_full") else "none",
+            vision_quant="int8" if tq == "int8_full" else "none",
+        )
         tparams = _materialize(_shapes(
             LlavaOnevision(tcfg, dtype=dtype), micro, 1, "teacher"), 1, dtype)
-        if args.teacher_quant == "int8":
+        if tq in ("int8", "int8_full"):
             from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
                 quantize_lm_params_int8,
             )
-            tparams = jax.jit(quantize_lm_params_int8)(tparams)
+            tparams = jax.jit(functools.partial(
+                quantize_lm_params_int8,
+                include_vision=tq == "int8_full",
+            ))(tparams)
         # Single-chip KD bench runs double-trouble phase 3 by default
         # (--kd_phase; see module docstring).
         cfg = TrainConfig(
@@ -406,7 +413,8 @@ def main() -> None:
                     "the realistic S=3072 workload via the fused LoCa "
                     "kernels (measured r2; phase 1: 2.84 samples/s)")
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--teacher_quant", choices=["none", "int8"],
+    ap.add_argument("--teacher_quant",
+                    choices=["none", "int8", "int8_full"],
                     default="none",
                     help="int8: w8a8 decoder-block matmuls for the frozen "
                     "teacher (MXU int8 path measures ~1.6x bf16; halves "
@@ -472,8 +480,8 @@ def main() -> None:
     if "kd" in results:
         head, label = results["kd"], f"kd_double_trouble_p{args.kd_phase}"
         teacher_tag = "tiny teacher" if args.cpu else "1.2B teacher"
-        if args.teacher_quant == "int8":
-            teacher_tag += " (int8)"
+        if args.teacher_quant != "none":
+            teacher_tag += f" ({args.teacher_quant})"
         detail = f"{teacher_tag}, S={head['seq_len']}, B={head['batch']}"
     elif "baseline_depth" in results:
         head, label = results["baseline_depth"], "baseline_depth"

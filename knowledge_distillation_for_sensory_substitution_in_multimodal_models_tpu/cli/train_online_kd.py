@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--root_data_dir", type=str, default=None,
                    help="overrides ROOT_DATA_DIR from .env")
     p.add_argument("--teacher_quant", type=str, default="none",
-                   choices=["none", "int8"],
+                   choices=["none", "int8", "int8_full"],
                    help="int8: w8a8 decoder-block matmuls for the frozen "
                    "teacher (2x-rate MXU int8 path + half the weight HBM; "
                    "logit-fidelity tested in tests/test_int8.py)")
@@ -78,8 +78,11 @@ def main(argv=None):
     remat = not common.is_tiny(args)
 
     student = LlavaOnevision(scfg, dtype=compute_dtype, remat=remat, attn_impl=attn_impl)
-    teacher = LlavaOnevision(tcfg, dtype=compute_dtype, remat=remat, attn_impl=attn_impl,
-                             lm_quant=args.teacher_quant)
+    teacher = LlavaOnevision(
+        tcfg, dtype=compute_dtype, remat=remat, attn_impl=attn_impl,
+        lm_quant="int8" if args.teacher_quant != "none" else "none",
+        vision_quant="int8" if args.teacher_quant == "int8_full" else "none",
+    )
 
     tok = common.make_tokenizer(args, scfg)
     buckets = (256,) if common.is_tiny(args) else None
@@ -103,10 +106,15 @@ def main(argv=None):
     bf16_teacher = (teacher if args.teacher_quant == "none"
                     else LlavaOnevision(tcfg, dtype=compute_dtype))
     tparams = common.init_or_load_params(bf16_teacher, tcfg, args.teacher_weights, args.seed + 1)
-    if args.teacher_quant == "int8":
+    if args.teacher_quant != "none":
+        import functools as _ft
+
         from ..ops.int8 import quantize_lm_params_int8
 
-        tparams = jax.jit(quantize_lm_params_int8)(tparams)
+        tparams = jax.jit(_ft.partial(
+            quantize_lm_params_int8,
+            include_vision=args.teacher_quant == "int8_full",
+        ))(tparams)
 
     loss_cfg = kd_loss_config_for(args.kd_mode)
     if args.loca_faithful_indexing:

@@ -64,15 +64,19 @@ class LlavaOnevision(nn.Module):
     remat_vision: bool = True
     attn_impl: str = "xla"  # "pallas" = flash-attention kernels
     # "int8": w8a8 LM decoder-block projections (frozen-teacher inference
-    # path; params via ops.int8.quantize_lm_params_int8).  Vision tower,
-    # projector, embeddings and lm-head stay bf16 — see ops/int8.py.
+    # path; params via ops.int8.quantize_lm_params_int8).  Projector,
+    # embeddings and lm-head stay bf16 — see ops/int8.py.
     lm_quant: str = "none"
+    # "int8": w8a8 SigLIP encoder projections too
+    # (quantize_lm_params_int8(include_vision=True)).
+    vision_quant: str = "none"
 
     def setup(self):
         c = self.cfg
         self.vision_tower = SigLIPVisionTower(
             c.vision, self.dtype, remat=self.remat and self.remat_vision,
-            attn_impl=self.attn_impl, name="vision_tower"
+            attn_impl=self.attn_impl, quant=self.vision_quant,
+            name="vision_tower"
         )
         self.multi_modal_projector = MultiModalProjector(c, self.dtype, name="multi_modal_projector")
         self.image_newline = self.param(

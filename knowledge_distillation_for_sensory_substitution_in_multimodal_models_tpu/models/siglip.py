@@ -22,18 +22,21 @@ import jax.numpy as jnp
 
 from ..configs import SigLIPVisionConfig
 from ..ops.attention import dot_product_attention
+from .qwen2 import QDense
 
 
 class SigLIPAttention(nn.Module):
     cfg: SigLIPVisionConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: str = "none"  # "int8": w8a8 projections (frozen teacher)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
         b, s, _ = x.shape
-        dense = lambda name: nn.Dense(  # noqa: E731
+        cls = QDense if self.quant == "int8" else nn.Dense
+        dense = lambda name: cls(  # noqa: E731
             c.hidden_size, use_bias=True, dtype=self.dtype, name=name
         )
         q = dense("q_proj")(x).reshape(b, s, c.num_attention_heads, c.head_dim)
@@ -47,27 +50,33 @@ class SigLIPAttention(nn.Module):
 class SigLIPMLP(nn.Module):
     cfg: SigLIPVisionConfig
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
-        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        cls = QDense if self.quant == "int8" else nn.Dense
+        h = cls(c.intermediate_size, use_bias=True, dtype=self.dtype,
+                name="fc1")(x)
         h = nn.gelu(h, approximate=True)  # gelu_pytorch_tanh
-        return nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(h)
+        return cls(c.hidden_size, use_bias=True, dtype=self.dtype,
+                   name="fc2")(h)
 
 
 class SigLIPEncoderLayer(nn.Module):
     cfg: SigLIPVisionConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
         ln1 = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="layer_norm1")
         ln2 = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="layer_norm2")
-        x = x + SigLIPAttention(c, self.dtype, self.attn_impl, name="self_attn")(ln1(x))
-        x = x + SigLIPMLP(c, self.dtype, name="mlp")(ln2(x))
+        x = x + SigLIPAttention(c, self.dtype, self.attn_impl, self.quant,
+                                name="self_attn")(ln1(x))
+        x = x + SigLIPMLP(c, self.dtype, self.quant, name="mlp")(ln2(x))
         return x
 
 
@@ -80,6 +89,7 @@ class SigLIPVisionTower(nn.Module):
     # stored attention probs (~tiles x 16 x 729^2) the memory hot spot.
     remat: bool = False
     attn_impl: str = "xla"
+    quant: str = "none"  # "int8": w8a8 encoder projections (ops/int8.py)
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -110,7 +120,8 @@ class SigLIPVisionTower(nn.Module):
             else SigLIPEncoderLayer
         )
         for i in range(c.num_hidden_layers):
-            x = layer_cls(c, self.dtype, self.attn_impl, name=f"layers_{i}")(x)
+            x = layer_cls(c, self.dtype, self.attn_impl, self.quant,
+                          name=f"layers_{i}")(x)
 
         post = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=self.dtype, name="post_layernorm"

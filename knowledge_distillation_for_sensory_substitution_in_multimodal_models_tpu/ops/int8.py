@@ -34,6 +34,11 @@ import jax.numpy as jnp
 QUANTIZED_PROJ_NAMES = frozenset(
     {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}
 )
+# SigLIP encoder projections (models/siglip.py); patch conv + norms +
+# position embedding stay bf16.
+QUANTIZED_VISION_NAMES = frozenset(
+    {"q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"}
+)
 
 
 def absmax_quantize_weight(
@@ -76,31 +81,39 @@ def int8_matmul(
     return y.astype(out_dtype)
 
 
-def _quantize_tree(tree: Dict[str, Any]) -> Dict[str, Any]:
+def _quantize_tree(tree: Dict[str, Any], names=QUANTIZED_PROJ_NAMES) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for k, v in tree.items():
-        if k in QUANTIZED_PROJ_NAMES and isinstance(v, dict) and "kernel" in v:
+        if k in names and isinstance(v, dict) and "kernel" in v:
             wq, ws = absmax_quantize_weight(v["kernel"])
             nv: Dict[str, Any] = {"kernel_q": wq, "kernel_scale": ws}
             if "bias" in v:
                 nv["bias"] = v["bias"]
             out[k] = nv
         elif isinstance(v, dict):
-            out[k] = _quantize_tree(v)
+            out[k] = _quantize_tree(v, names)
         else:
             out[k] = v
     return out
 
 
-def quantize_lm_params_int8(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_lm_params_int8(
+    params: Dict[str, Any], include_vision: bool = False
+) -> Dict[str, Any]:
     """Quantize the decoder-block projections of a LlavaOnevision (or bare
     Qwen2LM) param tree for use with ``quant="int8"`` models.
 
-    Everything outside ``QUANTIZED_PROJ_NAMES`` (embeddings, norms, lm_head,
-    vision tower, projector) passes through unchanged.
+    ``include_vision=True`` additionally quantizes the SigLIP encoder
+    projections (``QUANTIZED_VISION_NAMES``) for a model built with
+    ``vision_quant="int8"``.  Everything else (embeddings, norms, lm_head,
+    projector, patch conv) passes through unchanged.
     """
     if "language_model" in params:
         new = dict(params)
         new["language_model"] = _quantize_tree(params["language_model"])
+        if include_vision and "vision_tower" in params:
+            new["vision_tower"] = _quantize_tree(
+                params["vision_tower"], QUANTIZED_VISION_NAMES
+            )
         return new
     return _quantize_tree(params)

@@ -77,15 +77,17 @@ def _rule_for_path(path: Tuple[str, ...]) -> Tuple:
     # int8 frozen-teacher weights (ops/int8.py): kernel_q shards exactly
     # like kernel; kernel_scale [out] follows the kernel's output dim.
     if name == "kernel_q":
-        if parent in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        if parent in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+                      "fc1"):
             return (AXIS_FSDP, AXIS_TENSOR)
-        if parent in ("o_proj", "down_proj"):
+        if parent in ("o_proj", "down_proj", "out_proj", "fc2"):
             return (AXIS_TENSOR, AXIS_FSDP)
         return ()
     if name == "kernel_scale":
-        if parent in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        if parent in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+                      "fc1"):
             return (AXIS_TENSOR,)
-        if parent in ("o_proj", "down_proj"):
+        if parent in ("o_proj", "down_proj", "out_proj", "fc2"):
             return (AXIS_FSDP,)
         return ()
 

@@ -168,6 +168,70 @@ def test_kd_step_with_int8_teacher():
     assert abs(loss8 - loss16) < 0.05 * abs(loss16) + 0.05, (loss8, loss16)
 
 
+def test_int8_full_teacher_vision_fidelity_and_kd_step():
+    """int8_full additionally quantizes the SigLIP encoder: vision features
+    stay close to bf16 and the KD step still runs with a close loss."""
+    student = LlavaOnevision(SCFG)
+    teacher16 = LlavaOnevision(TCFG)
+    teacher8f = LlavaOnevision(TCFG, lm_quant="int8", vision_quant="int8")
+    batch = synthetic_kd_batch(SCFG, batch_size=1, seq_len=96, accum=1, seed=5)
+    batch = jax.tree.map(jnp.asarray, batch)
+    micro = jax.tree.map(lambda x: x[0], batch)
+
+    def init(model, key, prefix):
+        return model.init(
+            jax.random.PRNGKey(key),
+            input_ids=micro[f"{prefix}_input_ids"],
+            attention_mask=micro[f"{prefix}_attention_mask"],
+            pixel_values=micro[f"{prefix}_pixel_values"],
+            pack_idx=micro["pack_idx"],
+            pack_weight=micro["pack_weight"],
+            pack_valid=micro["pack_valid"],
+            tile_valid=micro["tile_valid"],
+        )["params"]
+
+    sparams = init(student, 0, "student")
+    tparams = init(teacher16, 1, "teacher")
+    qtparams = quantize_lm_params_int8(tparams, include_vision=True)
+    # vision projections converted, patch conv untouched
+    flat = jax.tree_util.tree_flatten_with_path(qtparams["vision_tower"])[0]
+    q_paths = [jax.tree_util.keystr(p) for p, l in flat
+               if l.dtype == jnp.int8]
+    assert q_paths and all("patch_embedding" not in p for p in q_paths)
+
+    kwargs = dict(
+        input_ids=micro["teacher_input_ids"],
+        attention_mask=micro["teacher_attention_mask"],
+        pixel_values=micro["teacher_pixel_values"],
+        pack_idx=micro["pack_idx"],
+        pack_weight=micro["pack_weight"],
+        pack_valid=micro["pack_valid"],
+        tile_valid=micro["tile_valid"],
+    )
+    _, vis16, _ = teacher16.apply({"params": tparams}, **kwargs)
+    _, vis8, _ = teacher8f.apply({"params": qtparams}, **kwargs)
+    err = float(jnp.abs(vis8 - vis16).mean())
+    scale = float(jnp.abs(vis16).mean()) + 1e-6
+    assert err / scale < 0.05, err / scale
+
+    cfg = TrainConfig(
+        kd_mode="double_trouble", phase=3,
+        loss=kd_loss_config_for("double_trouble"), loss_chunk_size=32,
+    )
+    tx = make_optimizer(sparams, 1e-3)
+    state = TrainState.create(apply_fn=None, params=sparams, tx=tx)
+
+    def run(teacher, tp):
+        step = jax.jit(make_train_step(KDModels(student, teacher), cfg))
+        _, metrics = step(state, tp, batch)
+        return float(metrics["loss"])
+
+    loss16 = run(teacher16, tparams)
+    loss8 = run(teacher8f, qtparams)
+    assert np.isfinite(loss8)
+    assert abs(loss8 - loss16) < 0.05 * abs(loss16) + 0.05, (loss8, loss16)
+
+
 @pytest.mark.slow
 def test_int8_teacher_kd_step_sharded_matches_single_device():
     """Int8-teacher KD step on a (1,2,4) mesh ≡ single device: the
