@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_false")
     p.add_argument("--root_data_dir", type=str, default=None)
     p.add_argument("--quant", type=str, default="none",
-                   choices=["none", "int8"],
+                   choices=["none", "int8", "int8_full"],
                    help="int8: w8a8 LM decoder matmuls for serving — decode "
                    "at batch 1 is weight-bandwidth-bound, int8 halves the "
                    "bytes (ops/int8.py; fidelity tests tests/test_int8.py)")
@@ -101,14 +101,20 @@ def main(argv=None):
         params = full["params"]
         print(f"loaded student params from {args.student_ckpt_path}")
 
-    if args.quant == "int8":
+    if args.quant != "none":
         # Quantize AFTER restore (checkpoints stay bf16/f32) and swap in
         # the int8-consuming model for generation.
         from ..ops.int8 import quantize_lm_params_int8
 
-        params = jax.jit(quantize_lm_params_int8)(params)
+        import functools as _ft
+
+        params = jax.jit(_ft.partial(
+            quantize_lm_params_int8,
+            include_vision=args.quant == "int8_full",
+        ))(params)
         student = LlavaOnevision(
-            scfg, dtype=dtype, attn_impl=attn_impl, lm_quant="int8"
+            scfg, dtype=dtype, attn_impl=attn_impl, lm_quant="int8",
+            vision_quant="int8" if args.quant == "int8_full" else "none",
         )
 
     depth_encoding = (

@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_new_tokens", type=int, default=32)
     p.add_argument("--root_data_dir", type=str, default=None)
     p.add_argument("--quant", type=str, default="none",
-                   choices=["none", "int8"],
+                   choices=["none", "int8", "int8_full"],
                    help="int8: w8a8 LM decoder matmuls for serving "
                    "(ops/int8.py)")
     common.add_tpu_flags(p)
@@ -67,13 +67,19 @@ def main(argv=None):
         )
         params = mgr.restore(args.student_ckpt_path, abstract, partial=True)["params"]
 
-    if args.quant == "int8":
+    if args.quant != "none":
         from ..ops.int8 import quantize_lm_params_int8
 
-        params = jax.jit(quantize_lm_params_int8)(params)
+        import functools as _ft
+
+        params = jax.jit(_ft.partial(
+            quantize_lm_params_int8,
+            include_vision=args.quant == "int8_full",
+        ))(params)
         student = LlavaOnevision(
             scfg, dtype=dtype, attn_impl=common.resolve_attn_impl(args),
             lm_quant="int8",
+            vision_quant="int8" if args.quant == "int8_full" else "none",
         )
 
     ds = SUNRGBDVQADataset(
