@@ -333,8 +333,12 @@ def bench_generation(args) -> dict:
     seq_len, orig = c["seq_len"], c["orig"]
     new_tokens = 8 if args.cpu else 32
 
-    model = LlavaOnevision(scfg, dtype=dtype, attn_impl=attn_impl,
-                           lm_quant=args.student_quant)
+    sq = args.student_quant
+    model = LlavaOnevision(
+        scfg, dtype=dtype, attn_impl=attn_impl,
+        lm_quant="int8" if sq in ("int8", "int8_full") else "none",
+        vision_quant="int8" if sq == "int8_full" else "none",
+    )
     batch = synthetic_kd_batch(
         scfg, batch_size=1, seq_len=seq_len, orig_sizes=[orig], seed=3,
     )
@@ -342,11 +346,13 @@ def bench_generation(args) -> dict:
           if not k.startswith("teacher_")}
     params = _materialize(_shapes(
         LlavaOnevision(scfg, dtype=dtype), jb, 2, "student"), 2, dtype)
-    if args.student_quant == "int8":
+    if sq in ("int8", "int8_full"):
         from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
             quantize_lm_params_int8,
         )
-        params = jax.jit(quantize_lm_params_int8)(params)
+        params = jax.jit(functools.partial(
+            quantize_lm_params_int8, include_vision=sq == "int8_full",
+        ))(params)
     gcfg = GenerateConfig(max_new_tokens=new_tokens, eos_token_id=-1)
     gen = Generator(model, scfg, gcfg)
 
@@ -426,7 +432,8 @@ def main() -> None:
     ap.add_argument("--mu_dtype", choices=["f32", "bf16"], default="f32",
                     help="bf16: Adam first moment in bf16 (-1 GB HBM on "
                     "the 0.5B student; what lets KD phase-3 fit B=2)")
-    ap.add_argument("--student_quant", choices=["none", "int8"],
+    ap.add_argument("--student_quant",
+                    choices=["none", "int8", "int8_full"],
                     default="none",
                     help="generation mode only: serve the student with "
                     "w8a8 LM matmuls (decode at batch 1 is weight-"
