@@ -247,7 +247,7 @@ def test_int8_teacher_kd_step_sharded_matches_single_device():
     )
 
     student = LlavaOnevision(SCFG)
-    teacher8 = LlavaOnevision(TCFG, lm_quant="int8")
+    teacher8 = LlavaOnevision(TCFG, lm_quant="int8", vision_quant="int8")
     batch = synthetic_kd_batch(SCFG, batch_size=2, seq_len=96, accum=2, seed=6)
     batch = jax.tree.map(jnp.asarray, batch)
     micro = jax.tree.map(lambda x: x[0], batch)
@@ -265,7 +265,11 @@ def test_int8_teacher_kd_step_sharded_matches_single_device():
         )["params"]
 
     sparams = init(student, 0, "student")
-    tparams = quantize_lm_params_int8(init(LlavaOnevision(TCFG), 1, "teacher"))
+    # int8_full: vision kernel_q/kernel_scale exercise their own partition
+    # rules (parallel/sharding.py) under the mesh
+    tparams = quantize_lm_params_int8(
+        init(LlavaOnevision(TCFG), 1, "teacher"), include_vision=True
+    )
 
     cfg = TrainConfig(
         kd_mode="double_trouble", phase=3,
