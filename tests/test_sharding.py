@@ -152,3 +152,44 @@ def test_sharded_kd_train_step_matches_single_device():
     )
     b = np.asarray(new_state.params["language_model"]["norm"]["weight"])
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_int8_generation_matches_single_device():
+    """Int8-served (int8_full) decode over the TP/fsdp mesh must be
+    token-exact vs single-device int8 — pins the kernel_q/kernel_scale
+    partition rules on the serving path."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.eval.decode import (
+        GenerateConfig,
+        Generator,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
+        quantize_lm_params_int8,
+    )
+
+    cfg = llava_onevision_tiny()
+    model16 = LlavaOnevision(cfg)
+    model8 = LlavaOnevision(cfg, lm_quant="int8", vision_quant="int8")
+    batch = synthetic_kd_batch(cfg, 2, 96, seed=12)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if not k.startswith("teacher_")}
+    params = model16.init(
+        jax.random.PRNGKey(1),
+        input_ids=jb["student_input_ids"],
+        attention_mask=jb["student_attention_mask"],
+        pixel_values=jb["student_pixel_values"],
+        pack_idx=jb["pack_idx"], pack_weight=jb["pack_weight"],
+        pack_valid=jb["pack_valid"], tile_valid=jb["tile_valid"],
+    )["params"]
+    qparams = quantize_lm_params_int8(params, include_vision=True)
+    gcfg = GenerateConfig(max_new_tokens=6, repetition_penalty=1.0,
+                          no_repeat_ngram_size=0, eos_token_id=-1)
+    ref = np.asarray(
+        Generator(model8, cfg, gcfg).generate(qparams, jb)["tokens"]
+    )
+    mesh = make_mesh(MeshConfig(1, 2, 4))
+    with jax.set_mesh(mesh):
+        sp = shard_params(qparams, mesh)
+        got = np.asarray(
+            Generator(model8, cfg, gcfg).generate(sp, jb)["tokens"]
+        )
+    np.testing.assert_array_equal(got, ref)
