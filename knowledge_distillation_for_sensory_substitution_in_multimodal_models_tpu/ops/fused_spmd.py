@@ -29,6 +29,7 @@ each wrapper falls back to its single-device fused kernel.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -70,15 +71,78 @@ def _row_axes(mesh, n_rows: int) -> Tuple[str, ...]:
 
 
 # ---------------------------------------------------------------------------
-# Per-shard XLA reference math (tiny-shape CPU tests; same contracts as the
-# *_sum kernels above).
+# Per-shard XLA reference math (CPU-mesh tests + AOT memory estimation;
+# same contracts as the *_sum kernels above).
+#
+# The dense forms materialize [N_shard, V] logits plus several derived
+# tensors — ~15 GB/chip at the 7B KD shapes (N=3072, V=152k), which is what
+# the Pallas kernels exist to avoid.  ``_rowchunked`` therefore scans the
+# row axis in blocks with ``jax.checkpoint`` (backward recomputes each
+# block's logits), giving the XLA arm the kernels' O(chunk x V) memory
+# behavior so CPU-mesh equivalence tests and `parallel/aot.py` HBM budgets
+# reflect the production profile.
 # ---------------------------------------------------------------------------
 
 
-def _ce_sum_xla(h, w, labels):
-    logits = jnp.einsum(
-        "nd,dv->nv", h, w, preferred_element_type=jnp.float32
+def _row_chunk(n: int) -> Optional[int]:
+    # 128 first: ~24 chunk x V f32 buffers are concurrently live across the
+    # recompute+backward of one chunk (measured via buffer assignment), so
+    # the chunk size directly scales the XLA arm's peak (128 x 152k x 4B x
+    # 24 ~ 1.9 GB vs 7.5 GB at 512).
+    for c in (128, 256, 512, 64):
+        if n > c and n % c == 0:
+            return c
+    return None
+
+
+def _rowchunked(fn, row_args: Tuple[jnp.ndarray, ...], n_out: int):
+    """Sum ``fn``'s scalar outputs over row chunks, rematerializing each
+    chunk's intermediates in backward.  Exact up to f32 sum association."""
+    n = row_args[0].shape[0]
+    c = _row_chunk(n)
+    if c is None:
+        return fn(*row_args)
+    chunked = tuple(a.reshape(n // c, c, *a.shape[1:]) for a in row_args)
+    out_sds = jax.eval_shape(
+        fn, *(jax.ShapeDtypeStruct((c,) + a.shape[1:], a.dtype)
+              for a in row_args)
     )
+    if n_out == 1:
+        out_sds = (out_sds,)
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def body(carry, xs):
+        outs = fn(*xs)
+        if n_out == 1:
+            outs = (outs,)
+        return tuple(cc + o.astype(cc.dtype) for cc, o in zip(carry, outs)), None
+
+    init = tuple(jnp.zeros((), s.dtype) for s in out_sds)
+    outs, _ = jax.lax.scan(body, init, chunked)
+    return outs[0] if n_out == 1 else outs
+
+
+def _check_teacher_vocab(teacher_head, v_real: int, vd: bool = False):
+    """The kernels mask teacher columns >= v_real (prefix truncation,
+    reference `logit_based/...:222`) — that only clamps correctly when the
+    teacher vocab is at least the student's.  Fail loudly otherwise."""
+    vt = teacher_head.shape[0] if vd else teacher_head.shape[1]
+    if vt < v_real:
+        raise ValueError(
+            f"teacher head vocab {vt} < student vocab {v_real}: prefix "
+            "truncation assumes teacher_vocab >= student_vocab"
+        )
+
+
+def _head_matmul(h, w, vd: bool):
+    """h [N, D] x head -> [N, V] f32; ``vd=True`` takes w as [V, D] (the
+    tied embedding's native layout — no transpose copy of the table)."""
+    spec = "nd,vd->nv" if vd else "nd,dv->nv"
+    return jnp.einsum(spec, h, w, preferred_element_type=jnp.float32)
+
+
+def _ce_sum_xla(h, w, labels, vd: bool = False):
+    logits = _head_matmul(h, w, vd)
     valid = labels != IGNORE_INDEX
     safe = jnp.where(valid, labels, 0)
     lse = jax.nn.logsumexp(logits, axis=-1)
@@ -86,24 +150,21 @@ def _ce_sum_xla(h, w, labels):
     return ((lse - gold) * valid).sum(), valid.sum()
 
 
-def _kl_sum_xla(hs, ws, ht, wt, temperature):
-    v = ws.shape[1]
-    s = jnp.einsum("nd,dv->nv", hs, ws,
-                   preferred_element_type=jnp.float32) / temperature
-    t = jnp.einsum("nd,dv->nv", ht, wt[:, :v],
-                   preferred_element_type=jnp.float32) / temperature
+def _kl_sum_xla(hs, ws, ht, wt, temperature, vd: bool = False):
+    v = ws.shape[0] if vd else ws.shape[1]
+    s = _head_matmul(hs, ws, vd) / temperature
+    t = _head_matmul(ht, wt[:, :v], False) / temperature
     log_ps = jax.nn.log_softmax(s, axis=-1)
     log_pt = jax.nn.log_softmax(t, axis=-1)
     pt = jnp.exp(log_pt)
     return (pt * (log_pt - log_ps)).sum()
 
 
-def _loca_sum_xla(hs, ws, ht, wt, labels, temperature, alpha, eps):
-    v = ws.shape[1]
-    s = jnp.einsum("nd,dv->nv", hs, ws,
-                   preferred_element_type=jnp.float32) / temperature
-    t = jnp.einsum("nd,dv->nv", ht, wt[:, :v],
-                   preferred_element_type=jnp.float32) / temperature
+def _loca_sum_xla(hs, ws, ht, wt, labels, temperature, alpha, eps,
+                  vd: bool = False):
+    v = ws.shape[0] if vd else ws.shape[1]
+    s = _head_matmul(hs, ws, vd) / temperature
+    t = _head_matmul(ht, wt[:, :v], False) / temperature
     p_t = jax.nn.softmax(t, axis=-1)
     p_s = jax.nn.softmax(s, axis=-1)
     log_ps = jnp.log(jnp.clip(p_s, eps, None))
@@ -159,7 +220,10 @@ def fused_ce_loss_spmd(
     def local(h, lab, w_):
         if local_impl == "pallas":
             return fused_ce_sum(h, w_, lab, w_layout=w_layout)
-        return _ce_sum_xla(h, w_.T if w_layout == "vd" else w_, lab)
+        return _rowchunked(
+            lambda hh, ll: _ce_sum_xla(hh, w_, ll, vd=w_layout == "vd"),
+            (h, lab), n_out=2,
+        )
 
     nll_sum, count = _sharded_sums(
         local, [hidden, labels], [w], axes, mesh, n_out=2
@@ -181,19 +245,23 @@ def fused_kl_loss_spmd(
     mesh = _abstract_mesh()
     n = student_hidden.shape[0]
     vd = student_head_layout == "vd"
+    v_real = student_head.shape[0] if vd else student_head.shape[1]
+    _check_teacher_vocab(teacher_head, v_real)
     axes = _row_axes(mesh, n) if mesh is not None else ()
     if not axes:
         return fused_kl_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
             temperature=temperature, student_head_layout=student_head_layout,
         )
-    v_real = student_head.shape[0] if vd else student_head.shape[1]
 
     def local(hs, ht, ws, wt):
         if local_impl == "pallas":
             return fused_kl_sum(hs, ws, ht, wt, temperature=temperature,
                                 student_head_layout=student_head_layout)
-        return _kl_sum_xla(hs, ws.T if vd else ws, ht, wt, temperature)
+        return _rowchunked(
+            lambda h1, h2: _kl_sum_xla(h1, ws, h2, wt, temperature, vd=vd),
+            (hs, ht), n_out=1,
+        )
 
     total = _sharded_sums(
         local, [student_hidden, teacher_hidden],
@@ -221,13 +289,14 @@ def fused_loca_loss_spmd(
     """
     mesh = _abstract_mesh()
     n = student_hidden.shape[0]
+    v_real = student_head.shape[1]
+    _check_teacher_vocab(teacher_head, v_real)
     axes = _row_axes(mesh, n) if mesh is not None else ()
     if not axes:
         return fused_loca_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
             labels, temperature=temperature, alpha=alpha, eps=eps,
         )
-    v_real = student_head.shape[1]
 
     def local(hs, ht, lab, ws, wt):
         if local_impl == "pallas":
@@ -235,7 +304,11 @@ def fused_loca_loss_spmd(
                 hs, ws, ht, wt, lab,
                 temperature=temperature, alpha=alpha, eps=eps,
             )
-        return _loca_sum_xla(hs, ws, ht, wt, lab, temperature, alpha, eps)
+        return _rowchunked(
+            lambda h1, h2, ll: _loca_sum_xla(
+                h1, ws, h2, wt, ll, temperature, alpha, eps),
+            (hs, ht, lab), n_out=1,
+        )
 
     total = _sharded_sums(
         local, [student_hidden, teacher_hidden, labels],
@@ -269,6 +342,8 @@ def fused_loca_ce_loss_spmd(
     mesh = _abstract_mesh()
     n = student_hidden.shape[0]
     vd = student_head_layout == "vd"
+    v_real = student_head.shape[0] if vd else student_head.shape[1]
+    _check_teacher_vocab(teacher_head, v_real)
     axes = _row_axes(mesh, n) if mesh is not None else ()
     if not axes:
         return fused_loca_ce_loss(
@@ -276,7 +351,6 @@ def fused_loca_ce_loss_spmd(
             loca_labels, ce_labels, temperature=temperature, alpha=alpha,
             eps=eps, student_head_layout=student_head_layout,
         )
-    v_real = student_head.shape[0] if vd else student_head.shape[1]
 
     def local(hs, ht, lab, labce, ws, wt):
         if local_impl == "pallas":
@@ -285,11 +359,14 @@ def fused_loca_ce_loss_spmd(
                 temperature=temperature, alpha=alpha, eps=eps,
                 student_head_layout=student_head_layout,
             )
-        ws_dv = ws.T if vd else ws
-        loca_sum = _loca_sum_xla(hs, ws_dv, ht, wt, lab, temperature,
-                                 alpha, eps)
-        ce_sum, count = _ce_sum_xla(hs, ws_dv, labce)
-        return loca_sum, ce_sum, count
+
+        def both(h1, h2, ll, llce):
+            loca_sum = _loca_sum_xla(h1, ws, h2, wt, ll, temperature,
+                                     alpha, eps, vd=vd)
+            ce_sum, count = _ce_sum_xla(h1, ws, llce, vd=vd)
+            return loca_sum, ce_sum, count
+
+        return _rowchunked(both, (hs, ht, lab, labce), n_out=3)
 
     kl_sum, ce_sum, count = _sharded_sums(
         local, [student_hidden, teacher_hidden, loca_labels, ce_labels],

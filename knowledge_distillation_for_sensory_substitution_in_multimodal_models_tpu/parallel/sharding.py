@@ -50,7 +50,14 @@ def _rule_for_path(path: Tuple[str, ...]) -> Tuple:
     ):
         return ()
     if name == "embedding":
-        return (AXIS_TENSOR, AXIS_FSDP)
+        # V over fsdp, D over tensor — NOT (tensor, fsdp): the token-lookup
+        # gather emits D-sharded activations, and resharding them to the
+        # batch-sharded layout is only efficient when the source and target
+        # axis sets are disjoint (all-gather over tensor + slice over
+        # data/fsdp).  With D sharded over fsdp the partitioner hits the
+        # "involuntary full rematerialization" path (replicate-then-
+        # repartition of every [B,S,D] embed output and its cotangent).
+        return (AXIS_FSDP, AXIS_TENSOR)
     if name == "image_newline" or name == "position_embedding":
         return ()
 

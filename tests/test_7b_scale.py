@@ -1,0 +1,145 @@
+"""Structural proof of the real-7B-teacher configuration.
+
+The reference's product loads the real 7B teacher
+(`distillation/knowledge_distillation7b_logit_based/
+OnlineKnowledgeDistillationLLavaOneVision.py:29-33`).  Multi-chip TPU
+hardware is unavailable here, so these tests validate the partition
+arithmetic and HBM budget *ahead of time* on the 8-device virtual CPU
+mesh: abstract (``jax.eval_shape``) parameters, production shardings on
+the full train state, ``lower().compile()`` and
+``compiled.memory_analysis()``.
+
+The compile test uses a width-exact depth-reduced (2-layer) variant —
+real 152128-vocab / 3584-hidden / 28-head / 18944-mlp dims exercise the
+same dividing/resharding decisions as full depth at a fraction of the CPU
+compile time; scripts/aot_7b.py runs the full-depth program (28+24
+layers, ~14 min CPU compile, 12.5 GiB/chip int8_full) whose results are
+recorded in docs/PERF_NOTES.md.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.parallel.aot import (
+    aot_compile_kd_step,
+    build_kd_step_for_aot,
+    sharded_param_bytes,
+    teacher_7b_student_05b,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.parallel.mesh import (
+    MeshConfig,
+    make_mesh,
+)
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.parallel.sharding import (
+    param_partition_specs,
+)
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(jax.device_count() < 8,
+                       reason="needs 8 virtual devices"),
+]
+
+GIB = 1 << 30
+
+
+def test_7b_partition_specs_divide():
+    """Every sharded dim of the real 7B/0.5B pair divides its mesh axes on
+    the production (1,2,4) layout — no silent fallback to replicated for
+    the big tensors."""
+    mesh = make_mesh(MeshConfig(data=1, fsdp=2, tensor=4))
+    scfg, tcfg = teacher_7b_student_05b(layers=1)
+    jitted, (state, tparams, batch), _ = build_kd_step_for_aot(
+        scfg, tcfg, MeshConfig(1, 2, 4), seq_len=1536, accum=1,
+        orig=(45, 67), teacher_quant="int8_full", mesh=mesh,
+    )
+
+    from flax import traverse_util
+
+    tspecs = traverse_util.flatten_dict(
+        param_partition_specs(
+            jax.tree.map(lambda s: s, tparams), mesh
+        )
+    )
+    # the teacher tensors that MUST shard (HBM-critical at 7B dims)
+    emb = tspecs[("language_model", "embed_tokens", "embedding")]
+    assert tuple(emb) == ("fsdp", "tensor"), emb
+    head = tspecs[("language_model", "lm_head", "kernel")]
+    assert tuple(head) == ("fsdp", "tensor"), head
+    for proj in ("q_proj", "k_proj", "v_proj"):
+        spec = tspecs[("language_model", "layers_0", "self_attn", proj,
+                       "kernel_q")]
+        assert tuple(spec) == ("fsdp", "tensor"), (proj, spec)
+    mlp = tspecs[("language_model", "layers_0", "mlp", "down_proj",
+                  "kernel_q")]
+    assert tuple(mlp) == ("tensor", "fsdp"), mlp
+
+
+def test_7b_param_bytes_per_chip():
+    """Hand-checkable parameter HBM: the full-depth 7B int8 teacher must
+    sit near 7e9 bytes / 8 chips (int8 ~ 1 B/param + scales + bf16
+    embed/head), the bf16 teacher near 14e9 / 8."""
+    mesh = make_mesh(MeshConfig(data=1, fsdp=2, tensor=4))
+    scfg, tcfg = teacher_7b_student_05b()  # full depth
+
+    import jax.numpy as jnp
+
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.models import (
+        LlavaOnevision,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
+        quantize_lm_params_int8,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.utils.synthetic import (
+        synthetic_kd_batch,
+    )
+
+    b = synthetic_kd_batch(tcfg, 1, 3072, orig_sizes=[(530, 730)], seed=0)
+    micro = {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in b.items()}
+    model = LlavaOnevision(tcfg, dtype=jnp.bfloat16)
+
+    def f(ids, am, pv, pidx, pw, pva, tv):
+        return model.init(
+            jax.random.PRNGKey(0), input_ids=ids, attention_mask=am,
+            pixel_values=pv, pack_idx=pidx, pack_weight=pw, pack_valid=pva,
+            tile_valid=tv,
+        )["params"]
+
+    tp = jax.eval_shape(
+        f, micro["teacher_input_ids"], micro["teacher_attention_mask"],
+        micro["teacher_pixel_values"], micro["pack_idx"],
+        micro["pack_weight"], micro["pack_valid"], micro["tile_valid"],
+    )
+    tp = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(
+            s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+        tp,
+    )
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(tp))
+    assert 7.5e9 < n_params < 8.5e9, n_params  # 7B LM + 0.4B SigLIP + proj
+
+    bf16_bytes = sharded_param_bytes(tp, mesh)
+    # bf16: ~2 B/param / 8 chips; embeds shard too, so close to 2*P/8
+    assert bf16_bytes < 2.2 * n_params / 8, bf16_bytes
+
+    tq = jax.eval_shape(
+        lambda p: quantize_lm_params_int8(p, include_vision=True), tp
+    )
+    int8_bytes = sharded_param_bytes(tq, mesh)
+    assert int8_bytes < 0.65 * bf16_bytes, (int8_bytes, bf16_bytes)
+
+
+def test_7b_width_exact_aot_compile_fits_hbm():
+    """AOT-compile the phase-3 KD step at real 7B widths (2 layers) on the
+    (1,2,4) mesh with the int8_full teacher: must compile (partition rules
+    valid at true dims) and the per-chip byte budget must clear 16 GiB
+    with the margin full depth needs (full-depth measured 12.5 GiB)."""
+    scfg, tcfg = teacher_7b_student_05b(layers=2)
+    compiled, stats = aot_compile_kd_step(
+        scfg, tcfg, MeshConfig(1, 2, 4),
+        seq_len=3072, per_dp_batch=1, accum=2, teacher_quant="int8_full",
+    )
+    assert stats["per_chip_hbm_estimate"] < 8 * GIB, stats
+    # compiled program exists and reports per-device stats
+    assert stats["temp_bytes"] > 0

@@ -60,7 +60,10 @@ def test_mesh_and_param_specs():
 
     sharded = shard_params(params, mesh)
     emb = sharded["language_model"]["embed_tokens"]["embedding"]
-    assert emb.sharding.spec == P("tensor", "fsdp")
+    # (fsdp, tensor), NOT (tensor, fsdp): D must not shard over an axis the
+    # batch also shards over, or the embed-gather output reshard triggers
+    # SPMD involuntary full rematerialization (see sharding._rule_for_path)
+    assert emb.sharding.spec == P("fsdp", "tensor")
 
 
 def test_sharded_generation_matches_single_device():
