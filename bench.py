@@ -180,6 +180,24 @@ def bench_train(args, mode: str) -> dict:
     seq_len, orig, chunk, dtype = c["seq_len"], c["orig"], c["chunk"], c["dtype"]
     attn_impl = c["attn_impl"]
 
+    # --mesh d,f,t: run the SAME workload under a jax.sharding.Mesh with
+    # the production multi-chip code paths — flash_attention_spmd and the
+    # fused losses inside shard_map ("pallas" local impl).  With 1,1,1 on
+    # the single real chip this executes the exact custom-call-in-shard_map
+    # program the multi-chip configuration uses (modulo collectives), which
+    # otherwise never runs on hardware; the loss trace must match the
+    # no-mesh run.
+    mesh = None
+    if getattr(args, "mesh", None) and not args.cpu:
+        from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.parallel import (
+            MeshConfig,
+            make_mesh,
+        )
+
+        d, f, t = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(MeshConfig(d, f, t))
+        attn_impl = "pallas_spmd"
+
     remat = args.remat != "none"
     remat_vision = args.remat == "full"
     student = LlavaOnevision(scfg, dtype=dtype, remat=remat,
@@ -226,6 +244,18 @@ def bench_train(args, mode: str) -> dict:
             ce_impl="chunked" if args.cpu else "fused",
         )
         models = KDModels(student, None)
+
+    if mesh is not None:
+        from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.parallel.sharding import (
+            shard_batch,
+            shard_params,
+        )
+
+        jax.set_mesh(mesh)  # global setter: step tracing sees the mesh
+        sparams = shard_params(sparams, mesh)
+        if tparams is not None:
+            tparams = shard_params(tparams, mesh)
+        batch = shard_batch(batch, mesh, accum=True)
 
     tx = make_optimizer(
         sparams, 2e-5,
@@ -398,11 +428,20 @@ def bench_generation(args) -> dict:
         for _ in range(reps):
             run2()
         dt2 = (time.time() - t0) / reps
-        marginal = 64 / max(dt2 - dt, 1e-6)
-        print(f"[generation] marginal decode: {marginal:.1f} tok/s "
-              f"({dt2*1e3:.0f} ms at {new_tokens + 64} tokens)",
-              file=sys.stderr)
-        out["decode_tok_per_sec"] = round(marginal, 1)
+        if dt2 > 1.05 * dt:
+            marginal = 64 / (dt2 - dt)
+            print(f"[generation] marginal decode: {marginal:.1f} tok/s "
+                  f"({dt2*1e3:.0f} ms at {new_tokens + 64} tokens)",
+                  file=sys.stderr)
+            out["decode_tok_per_sec"] = round(marginal, 1)
+        else:
+            # the two timings are within noise (< 5%): a subtraction-based
+            # rate would be wildly inflated — report nothing instead
+            print(f"[generation] marginal decode: not reported "
+                  f"(dt2={dt2*1e3:.0f} ms within noise of dt={dt*1e3:.0f} "
+                  "ms; rerun with a healthier tunnel window)",
+                  file=sys.stderr)
+            out["decode_tok_per_sec"] = None
     return out
 
 
@@ -440,6 +479,13 @@ def main() -> None:
                     "bandwidth-bound; int8 halves the bytes)")
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="capture a jax.profiler trace of the timed steps")
+    ap.add_argument("--mesh", type=str, default=None,
+                    help="d,f,t: run the train modes under a "
+                    "jax.sharding.Mesh with the production multi-chip "
+                    "paths (flash + fused losses inside shard_map). "
+                    "'1,1,1' on the single real chip executes exactly the "
+                    "multi-chip program modulo collectives; the loss trace "
+                    "must match the no-mesh run")
     ap.add_argument("--remat", type=str, default="full",
                     choices=["full", "lm", "none"],
                     help="rematerialization A/B: full (both towers), lm "

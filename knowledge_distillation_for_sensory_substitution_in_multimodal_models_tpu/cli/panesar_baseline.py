@@ -6,8 +6,10 @@ Differences from the reference, by necessity/offline design:
   (`panesar_model_baseline_train.py:214-216` pulls `shayekh00/VQA_SUNRGBD_v2`,
   unavailable offline) — same columns, same QA task;
 * Adadelta + early stopping kept (`:203-341`); the Optuna Bayesian lr
-  search is gated on the optuna package (absent here) with a fixed-lr
-  fallback;
+  search is implemented with the reference's semantics (log-uniform lr in
+  [1e-4, 2.0], per-epoch report/prune, direction=minimize) behind
+  ``--optuna_trials N``; like the reference it requires the optuna
+  package (ImportError is loud, not silently skipped);
 * question/answer vocabularies are frozen to JSON exactly like the eval
   script expects (`panesar_model_baseline_eval.py:44-108`).
 
@@ -158,69 +160,104 @@ def main(argv=None):
         print(f"panesar eval accuracy: {acc:.4f} ({correct}/{total})")
         return
 
-    # ---- train (Adadelta + early stopping; optuna lr search gated) ----
-    def make_tx(lr):
-        return optax.adadelta(lr)
+    # ---- train (Adadelta + early stopping; optional Optuna lr search,
+    # reference `panesar_model_baseline_train.py:203-341`) ----
+    def run_training(lr, epochs, seed=0, save_to=None, trial=None):
+        """One Adadelta training run; returns the best val loss.
+
+        ``trial``: an optuna trial — per-epoch ``report`` + ``should_prune``
+        mirror the reference's pruning hook
+        (`panesar_model_baseline_train.py:307-311`).
+        """
+        params = model.init(
+            jax.random.PRNGKey(seed), jnp.asarray(rgb0), jnp.asarray(depth0),
+            jnp.asarray(q0),
+        )["params"]
+        tx = optax.adadelta(lr)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, rgb, depth, qids, ys, valid):
+            def loss_fn(p):
+                logits = model.apply({"params": p}, rgb, depth, qids,
+                                     deterministic=False,
+                                     rngs={"dropout": jax.random.PRNGKey(0)})
+                ce = optax.softmax_cross_entropy_with_integer_labels(logits, ys)
+                return (ce * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state2, loss
+
+        best_val, patience = float("inf"), 0
+        loss = jnp.zeros(())
+        for epoch in range(epochs):
+            order = np.random.default_rng(epoch).permutation(n_train)
+            for start in range(0, n_train, args.batch_size):
+                idxs = order[start : start + args.batch_size]
+                rgb, depth, qids, ys, valid = encode_batch(
+                    train_ds, idxs, qwords, answers)
+                params, opt_state, loss = step(
+                    params, opt_state, jnp.asarray(rgb), jnp.asarray(depth),
+                    jnp.asarray(qids), jnp.asarray(ys), jnp.asarray(valid),
+                )
+            val_losses = []
+            for start in range(0, n_val, args.batch_size):
+                idxs = list(range(start, min(start + args.batch_size, n_val)))
+                rgb, depth, qids, ys, valid = encode_batch(
+                    val_ds, idxs, qwords, answers)
+                logits = model.apply({"params": params}, jnp.asarray(rgb),
+                                     jnp.asarray(depth), jnp.asarray(qids))
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, jnp.asarray(ys))
+                val_losses.append(
+                    float((ce * valid).sum() / max(valid.sum(), 1)))
+            val_loss = float(np.mean(val_losses))
+            print(f"epoch {epoch} train_loss {float(loss):.4f} "
+                  f"val_loss {val_loss:.4f}")
+            if trial is not None:
+                import optuna
+
+                trial.report(val_loss, epoch)
+                if trial.should_prune():
+                    raise optuna.exceptions.TrialPruned()
+            if val_loss < best_val - 1e-4:
+                best_val, patience = val_loss, 0
+                if save_to is not None:
+                    import shutil
+
+                    shutil.rmtree(save_to, ignore_errors=True)
+                    ckptr.save(save_to, {"params": params})
+                    ckptr.wait_until_finished()
+            else:
+                patience += 1
+                if patience >= args.early_stop_patience:
+                    print("early stopping")
+                    break
+        return best_val
 
     lr = args.lr
     if args.optuna_trials > 0:
-        try:
-            import optuna  # noqa: F401
+        # Bayesian lr search, reference semantics: log-uniform lr in
+        # [1e-4, 2.0] (`panesar_model_baseline_train.py:238`), objective =
+        # best CrossEntropy val loss, direction=minimize (`:325-327`).
+        import optuna
 
-            print("optuna available: lr search not implemented offline; using --lr")
-        except ImportError:
-            print("optuna not installed; using fixed --lr")
+        def objective(trial):
+            lr_t = trial.suggest_float("lr", 1e-4, 2.0, log=True)
+            return run_training(
+                lr_t, epochs=args.epochs, seed=trial.number, trial=trial)
 
-    tx = make_tx(lr)
-    opt_state = tx.init(params)
+        study = optuna.create_study(direction="minimize")
+        print(f"Starting Bayesian Optimization with {args.optuna_trials} "
+              "trials... Target: CrossEntropy Val Loss")
+        study.optimize(objective, n_trials=args.optuna_trials)
+        lr = study.best_params["lr"]
+        print(f"optuna best lr: {lr:.6g} "
+              f"(best val loss {study.best_value:.4f})")
 
-    @jax.jit
-    def step(params, opt_state, rgb, depth, qids, ys, valid):
-        def loss_fn(p):
-            logits = model.apply({"params": p}, rgb, depth, qids,
-                                 deterministic=False,
-                                 rngs={"dropout": jax.random.PRNGKey(0)})
-            ce = optax.softmax_cross_entropy_with_integer_labels(logits, ys)
-            return (ce * valid).sum() / jnp.maximum(valid.sum(), 1)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state2, loss
-
-    best_val, patience = float("inf"), 0
-    for epoch in range(args.epochs):
-        order = np.random.default_rng(epoch).permutation(n_train)
-        for start in range(0, n_train, args.batch_size):
-            idxs = order[start : start + args.batch_size]
-            rgb, depth, qids, ys, valid = encode_batch(train_ds, idxs, qwords, answers)
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(rgb), jnp.asarray(depth),
-                jnp.asarray(qids), jnp.asarray(ys), jnp.asarray(valid),
-            )
-        val_losses = []
-        for start in range(0, n_val, args.batch_size):
-            idxs = list(range(start, min(start + args.batch_size, n_val)))
-            rgb, depth, qids, ys, valid = encode_batch(val_ds, idxs, qwords, answers)
-            logits = model.apply({"params": params}, jnp.asarray(rgb),
-                                 jnp.asarray(depth), jnp.asarray(qids))
-            ce = optax.softmax_cross_entropy_with_integer_labels(
-                logits, jnp.asarray(ys))
-            val_losses.append(float((ce * valid).sum() / max(valid.sum(), 1)))
-        val_loss = float(np.mean(val_losses))
-        print(f"epoch {epoch} train_loss {float(loss):.4f} val_loss {val_loss:.4f}")
-        if val_loss < best_val - 1e-4:
-            best_val, patience = val_loss, 0
-            import shutil
-
-            shutil.rmtree(ckpt_path, ignore_errors=True)
-            ckptr.save(ckpt_path, {"params": params})
-            ckptr.wait_until_finished()
-        else:
-            patience += 1
-            if patience >= args.early_stop_patience:
-                print("early stopping")
-                break
-    print("panesar training complete")
+    best = run_training(lr, args.epochs, seed=args.seed, save_to=ckpt_path)
+    print(f"panesar training complete (best val loss {best:.4f})")
 
 
 if __name__ == "__main__":

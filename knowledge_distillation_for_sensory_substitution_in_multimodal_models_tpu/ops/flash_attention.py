@@ -527,11 +527,16 @@ def flash_attention_spmd(
     """Multi-chip flash attention: shard_map over the active mesh.
 
     Pallas custom calls cannot be partitioned by GSPMD, so under a mesh the
-    kernel is wrapped in ``shard_map``: the batch axis shards over
-    (data, fsdp) and heads over ``tensor`` when the head counts divide
-    (query AND kv heads — the local GQA group must stay integral).
-    Falls back to the XLA attention when no mesh is active or the shapes
-    don't divide (e.g. the 0.5B student's 14 q / 2 kv heads at tensor=8).
+    kernel is wrapped in ``shard_map``.  Each axis shards independently
+    when its size divides: the batch axis over the (data, fsdp) subset
+    that divides ``B``, heads over ``tensor`` when the head counts divide
+    (query AND kv heads — the local GQA group must stay integral).  A
+    non-dividing axis is simply replicated *inside the shard_map* — e.g.
+    the 0.5B student's 14 q / 2 kv heads at tensor=4 keep the flash kernel
+    with heads replicated over ``tensor`` rather than falling back to
+    prob-materializing XLA attention (whose [B,H,S,S] f32 tensor is the
+    exact memory profile flash exists to avoid; at the 7B-mesh shapes it
+    would be the largest buffer in the step).
 
     ``local_impl`` selects the per-shard attention: "pallas" (the flash
     kernel; the production multi-chip path, requires real TPUs —
@@ -547,22 +552,24 @@ def flash_attention_spmd(
 
     axis_sizes = dict(zip(mesh.axis_names, mesh.shape_tuple and
                           [mesh.shape[a] for a in mesh.axis_names]))
-    dp = axis_sizes.get("data", 1) * axis_sizes.get("fsdp", 1)
     tp = axis_sizes.get("tensor", 1)
-    heads_ok = hq % tp == 0 and hkv % tp == 0 and (hq // tp) % (hkv // tp) == 0
-    batch_ok = b % dp == 0
-    if not (heads_ok and batch_ok):
-        from .attention import dot_product_attention
+    heads_ok = (
+        tp > 1 and hq % tp == 0 and hkv % tp == 0
+        and (hq // tp) % (hkv // tp) == 0
+    )
+    dp_axes = []
+    prod = 1
+    for a in ("data", "fsdp"):
+        sz = axis_sizes.get(a, 1)
+        if sz > 1 and b % (prod * sz) == 0:
+            dp_axes.append(a)
+            prod *= sz
 
-        return dot_product_attention(
-            q, k, v, mask=mask, causal=causal, scale=scale, impl="xla"
-        )
-
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    bspec = ("data", "fsdp")
-    q_spec = P(bspec, None, "tensor", None)
+    bspec = tuple(dp_axes) if dp_axes else None
+    head_ax = "tensor" if heads_ok else None
+    q_spec = P(bspec, None, head_ax, None)
     m_spec = P(bspec, None) if mask is not None else None
 
     def local(q_, k_, v_, m_):
@@ -587,12 +594,12 @@ def flash_attention_spmd(
             raise ValueError("pallas_spmd supports kv-padding masks only")
 
     in_specs = (q_spec, q_spec, q_spec, m_spec)
-    fn = shard_map(
+    fn = jax.shard_map(
         local,
         mesh=jax.sharding.get_abstract_mesh(),
         in_specs=in_specs,
         out_specs=q_spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, kv_mask)
 

@@ -137,10 +137,14 @@ def _stats_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         jnp.sum(jnp.where(onehot, t, 0.0), axis=1, keepdims=True), sc_g.shape
     )
 
-    # online top-2 teacher logits: merge block top-2 with carried (m1, m2)
+    # online top-2 teacher logits: merge block top-2 with carried (m1, m2).
+    # torch.topk(2) semantics under duplicates: when the block max occurs
+    # more than once, the second value IS the max again — masking every
+    # occurrence before the second max would under-report it.
     b1 = jnp.max(t, axis=1, keepdims=True)
-    t_wo_b1 = jnp.where(t == b1, NEG, t)  # mask ALL occurrences of max
-    b2 = jnp.max(t_wo_b1, axis=1, keepdims=True)
+    dup = jnp.sum(jnp.where(t == b1, 1.0, 0.0), axis=1, keepdims=True) > 1.0
+    t_wo_b1 = jnp.where(t == b1, NEG, t)
+    b2 = jnp.where(dup, b1, jnp.max(t_wo_b1, axis=1, keepdims=True))
     m1, m2 = sc_m1[:, 0:1], sc_m2[:, 0:1]
     new_m1 = jnp.maximum(m1, b1)
     # second max of the union {m1, m2, b1, b2}
@@ -591,8 +595,10 @@ def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref, labce_ref,
     )
 
     b1 = jnp.max(t, axis=1, keepdims=True)
+    # duplicate-max -> b2 = b1 (torch.topk(2) semantics, see _stats_kernel)
+    dup = jnp.sum(jnp.where(t == b1, 1.0, 0.0), axis=1, keepdims=True) > 1.0
     t_wo_b1 = jnp.where(t == b1, NEG, t)
-    b2 = jnp.max(t_wo_b1, axis=1, keepdims=True)
+    b2 = jnp.where(dup, b1, jnp.max(t_wo_b1, axis=1, keepdims=True))
     m1, m2 = sc_m1[:, 0:1], sc_m2[:, 0:1]
     new_m1 = jnp.maximum(m1, b1)
     new_m2 = jnp.maximum(jnp.minimum(m1, b1), jnp.maximum(m2, b2))

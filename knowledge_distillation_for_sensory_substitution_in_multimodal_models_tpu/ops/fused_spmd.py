@@ -23,8 +23,11 @@ per-row quantities in stock XLA ops; used by the CPU-mesh equivalence
 tests, which therefore validate the sharding/psum plumbing and the
 reduction contract on every path the pallas arm shares).
 
-With no active mesh — or rows that don't divide over the data axes —
-each wrapper falls back to its single-device fused kernel.
+With no active mesh each wrapper falls back to its single-device fused
+kernel.  Under a mesh whose data axes don't divide the rows (including
+the 1-device mesh), the kernel still runs — fully replicated inside the
+shard_map — so the production custom-call-in-shard_map path is exercised
+on any mesh shape.
 """
 
 from __future__ import annotations
@@ -180,17 +183,26 @@ def _loca_sum_xla(hs, ws, ht, wt, labels, temperature, alpha, eps,
 
 def _sharded_sums(local_fn, row_args, rep_args, axes, mesh, n_out: int):
     """shard_map ``local_fn`` with rows sharded over ``axes`` and the rest
-    replicated; returns ``n_out`` psum'd scalars."""
+    replicated; returns ``n_out`` psum'd scalars.
+
+    ``axes=()`` wraps the kernel fully replicated (every device computes
+    all rows, no psum) — the 1-device-mesh case, where the value of the
+    shard_map is executing the exact production code path (Pallas custom
+    call inside shard_map) rather than sharding work.
+    """
     row_spec = []
     for a in row_args:
-        row_spec.append(P(axes, *([None] * (a.ndim - 1))))
+        row_spec.append(P(axes if axes else None,
+                          *([None] * (a.ndim - 1))))
     rep_spec = [P(*([None] * a.ndim)) for a in rep_args]
 
     def body(*args):
         outs = local_fn(*args)
         if n_out == 1:
             outs = (outs,)
-        return tuple(jax.lax.psum(o, axes) for o in outs)
+        if axes:
+            outs = tuple(jax.lax.psum(o, axes) for o in outs)
+        return outs
 
     fn = jax.shard_map(
         body,
@@ -213,9 +225,9 @@ def fused_ce_loss_spmd(
 ) -> jnp.ndarray:
     """Row-sharded fused CE: mean NLL over ``labels != -100`` globally."""
     mesh = _abstract_mesh()
-    axes = _row_axes(mesh, hidden.shape[0]) if mesh is not None else ()
-    if not axes:
+    if mesh is None:
         return fused_ce_loss(hidden, w, labels, w_layout=w_layout)
+    axes = _row_axes(mesh, hidden.shape[0])
 
     def local(h, lab, w_):
         if local_impl == "pallas":
@@ -247,12 +259,12 @@ def fused_kl_loss_spmd(
     vd = student_head_layout == "vd"
     v_real = student_head.shape[0] if vd else student_head.shape[1]
     _check_teacher_vocab(teacher_head, v_real)
-    axes = _row_axes(mesh, n) if mesh is not None else ()
-    if not axes:
+    if mesh is None:
         return fused_kl_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
             temperature=temperature, student_head_layout=student_head_layout,
         )
+    axes = _row_axes(mesh, n)
 
     def local(hs, ht, ws, wt):
         if local_impl == "pallas":
@@ -291,12 +303,12 @@ def fused_loca_loss_spmd(
     n = student_hidden.shape[0]
     v_real = student_head.shape[1]
     _check_teacher_vocab(teacher_head, v_real)
-    axes = _row_axes(mesh, n) if mesh is not None else ()
-    if not axes:
+    if mesh is None:
         return fused_loca_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
             labels, temperature=temperature, alpha=alpha, eps=eps,
         )
+    axes = _row_axes(mesh, n)
 
     def local(hs, ht, lab, ws, wt):
         if local_impl == "pallas":
@@ -344,13 +356,13 @@ def fused_loca_ce_loss_spmd(
     vd = student_head_layout == "vd"
     v_real = student_head.shape[0] if vd else student_head.shape[1]
     _check_teacher_vocab(teacher_head, v_real)
-    axes = _row_axes(mesh, n) if mesh is not None else ()
-    if not axes:
+    if mesh is None:
         return fused_loca_ce_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
             loca_labels, ce_labels, temperature=temperature, alpha=alpha,
             eps=eps, student_head_layout=student_head_layout,
         )
+    axes = _row_axes(mesh, n)
 
     def local(hs, ht, lab, labce, ws, wt):
         if local_impl == "pallas":

@@ -12,10 +12,13 @@ Scheme (standard symmetric w8a8):
     inside the layer (a few cheap VPU passes against a 2x faster matmul);
   * accumulation in int32, rescale in f32, output in the model dtype.
 
-Only the Qwen2 decoder block projections (q/k/v/o, gate/up/down) are
-quantized.  Embeddings, norms, the lm-head, and the vision tower stay in
-bf16: the head feeds the KD loss directly (logit fidelity is what the
-student distills from) and the rest are a small share of teacher FLOPs.
+``quantize_lm_params_int8`` quantizes the Qwen2 decoder block projections
+(q/k/v/o, gate/up/down); with ``include_vision=True`` ("int8_full", the
+benched teacher configuration) the SigLIP encoder projections
+(q/k/v/out, fc1/fc2) quantize too.  Embeddings, norms, the lm-head, the
+patch conv and the projector always stay bf16: the head feeds the KD
+loss directly (logit fidelity is what the student distills from) and the
+rest are a negligible share of teacher FLOPs.
 
 The reference has no counterpart (its 7B teacher runs eager fp16 under
 torch.no_grad, `phase1/OnlineKnowledgeDistillationLLavaOneVision.py:206-225`);

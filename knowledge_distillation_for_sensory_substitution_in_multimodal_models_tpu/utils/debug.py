@@ -17,20 +17,24 @@ def enable_nan_checks() -> None:
 
 @contextlib.contextmanager
 def deterministic_mode(seed: int = 0):
-    """Bitwise-deterministic region: fixed XLA reductions + threefry
-    partitionable PRNG.  Use in tests comparing across mesh shapes."""
-    import os
+    """Bitwise-deterministic region: partitionable threefry PRNG (same
+    stream regardless of sharding) + matmul precision pinned to highest.
 
+    TPU executions are already run-to-run deterministic for a fixed
+    compiled program (no atomics-based reductions, unlike GPU — so there
+    is no TPU analog of ``--xla_gpu_deterministic_ops`` to set); the knobs
+    here remove the two *cross-configuration* sources of divergence:
+    PRNG partitioning and precision-dependent matmul rewrites.  Use in
+    tests comparing across mesh shapes.
+    """
     import jax
 
-    old_flags = os.environ.get("XLA_FLAGS", "")
-    os.environ["XLA_FLAGS"] = (
-        old_flags + " --xla_gpu_deterministic_ops=true"
-    ).strip()
-    prev = jax.config.jax_threefry_partitionable
+    prev_threefry = jax.config.jax_threefry_partitionable
+    prev_precision = jax.config.jax_default_matmul_precision
     jax.config.update("jax_threefry_partitionable", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
     try:
         yield jax.random.PRNGKey(seed)
     finally:
-        jax.config.update("jax_threefry_partitionable", prev)
-        os.environ["XLA_FLAGS"] = old_flags
+        jax.config.update("jax_threefry_partitionable", prev_threefry)
+        jax.config.update("jax_default_matmul_precision", prev_precision)
