@@ -369,8 +369,9 @@ def bench_generation(args) -> dict:
         lm_quant="int8" if sq in ("int8", "int8_full") else "none",
         vision_quant="int8" if sq == "int8_full" else "none",
     )
+    b = args.batch  # batched decode: the eval CLI's cheap multiplier
     batch = synthetic_kd_batch(
-        scfg, batch_size=1, seq_len=seq_len, orig_sizes=[orig], seed=3,
+        scfg, batch_size=b, seq_len=seq_len, orig_sizes=[orig] * b, seed=3,
     )
     jb = {k: jnp.asarray(v) for k, v in batch.items()
           if not k.startswith("teacher_")}
@@ -400,8 +401,8 @@ def bench_generation(args) -> dict:
     for _ in range(reps):
         run()
     dt = (time.time() - t0) / reps
-    tok_s = new_tokens / dt
-    print(f"[generation] {dt*1e3:.0f} ms / {new_tokens} tokens "
+    tok_s = new_tokens * b / dt
+    print(f"[generation] {dt*1e3:.0f} ms / {new_tokens} tokens x B={b} "
           f"(prompt {seq_len}) = {tok_s:.1f} tok/s", file=sys.stderr)
 
     out = {
@@ -409,6 +410,7 @@ def bench_generation(args) -> dict:
         "ms_per_call": round(dt * 1e3, 1),
         "prompt_len": seq_len,
         "new_tokens": new_tokens,
+        "batch": b,
     }
     if args.decode_marginal and not args.cpu:
         # steady-state decode rate: marginal tokens/sec between a 32- and a
@@ -429,7 +431,7 @@ def bench_generation(args) -> dict:
             run2()
         dt2 = (time.time() - t0) / reps
         if dt2 > 1.05 * dt:
-            marginal = 64 / (dt2 - dt)
+            marginal = 64 * b / (dt2 - dt)
             print(f"[generation] marginal decode: {marginal:.1f} tok/s "
                   f"({dt2*1e3:.0f} ms at {new_tokens + 64} tokens)",
                   file=sys.stderr)

@@ -155,6 +155,14 @@ def main(argv=None):
     for start in range(0, len(ds), bs):
         idxs = list(range(start, min(start + bs, len(ds))))
         samples = [ds[i] for i in idxs]
+        # Pad the ragged tail batch to the full batch size (repeat the
+        # last sample) so every batch hits the same compiled program —
+        # a ragged tail would recompile the whole prefill+decode graph
+        # for one batch (reference anchor: the per-row loop this replaces,
+        # `evaluate_onevision.py:402-443`, had no such concern).
+        n_real = len(samples)
+        if n_real < bs:
+            samples = samples + [samples[-1]] * (bs - n_real)
         batch = collator(samples)
         if args.pixel_data_type == "rgb":
             batch["student_pixel_values"] = batch["teacher_pixel_values"]
@@ -164,9 +172,9 @@ def main(argv=None):
             if not k.startswith("teacher_") and k != "question_id"
         }
         out = gen.generate(params, jb)
-        seqs = np.asarray(out["sequences"])
-        plens = np.asarray(out["prompt_lengths"])
-        valid = np.asarray(out["valid"])
+        seqs = np.asarray(out["sequences"])[:n_real]
+        plens = np.asarray(out["prompt_lengths"])[:n_real]
+        valid = np.asarray(out["valid"])[:n_real]
         for j, i in enumerate(idxs):
             gen_ids = [
                 int(t) for t, v in zip(seqs[j, plens[j]:], valid[j, plens[j]:]) if v

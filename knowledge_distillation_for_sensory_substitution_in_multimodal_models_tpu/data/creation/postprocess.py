@@ -47,15 +47,23 @@ def load_combined_words(mapping_csv: Optional[str] = None) -> Dict[str, str]:
     return dict(DEFAULT_COMBINED_WORDS)
 
 
-@functools.lru_cache(maxsize=1)
-def _spell_fixers():
+# Reference model for the learned spelling-correction stage
+# (`post_process.py:7`); override via ``hf_model`` (e.g. a local
+# save_pretrained directory — tests/test_creation.py exercises the full
+# model stage with a tiny local seq2seq fixture).
+HF_SPELL_MODEL = "oliverguhr/spelling-correction-english-base"
+
+
+@functools.lru_cache(maxsize=4)
+def _spell_fixers(hf_model: str = HF_SPELL_MODEL):
     """(word_corrector, hf_pipeline); hf may be None when unavailable.
 
     The word-level pass prefers TextBlob when installed (exact reference
     behavior) and otherwise uses the native Norvig corrector
     (utils/spelling.py) — same algorithm, domain-weighted corpus.  The HF
-    text2text model (`post_process.py:61`) stays gated: it is a learned
-    seq2seq model with no offline substitute.
+    text2text stage loads ``hf_model`` (reference: HF_SPELL_MODEL) from
+    the local cache / path only — absent weights disable the stage rather
+    than burning minutes of network retries offline.
     """
     tb = hf = None
     try:
@@ -70,11 +78,9 @@ def _spell_fixers():
         import torch
         from transformers import pipeline
 
-        # local_files_only: fail fast from the local cache instead of
-        # burning minutes of network retries in offline environments
         hf = pipeline(
             "text2text-generation",
-            model="oliverguhr/spelling-correction-english-base",
+            model=hf_model,
             device=0 if torch.cuda.is_available() else -1,
             model_kwargs={"local_files_only": True},
         )
@@ -87,7 +93,11 @@ def process_text_only(
     text: Optional[str],
     combined_words: Optional[Dict[str, str]] = None,
     enable_spellcheck: bool = True,
+    hf_model: Optional[str] = None,
 ) -> str:
+    """Reference pipeline order (`post_process.py:43-67`): combined-words
+    split -> num2words -> strip trailing digits -> word spell-correct ->
+    seq2seq model pass -> lowercase."""
     text = str(text) if text is not None else ""
     combined = combined_words or DEFAULT_COMBINED_WORDS
 
@@ -97,7 +107,7 @@ def process_text_only(
     text = re.sub(r"\b(\w+?)(\d+)\b", r"\1", text)
 
     if enable_spellcheck:
-        tb, hf = _spell_fixers()
+        tb, hf = _spell_fixers(hf_model or HF_SPELL_MODEL)
         if tb is not None:
             text = " ".join(tb(w) for w in text.split())
         if hf is not None:
