@@ -17,4 +17,8 @@ os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# KDSS_TEST_TPU=1 keeps the real TPU backend (for the TPU-gated hardware
+# tests, e.g. the fused-CE partial-edge-block smoke test); default is the
+# 8-device virtual CPU platform for the sharding suite.
+if not os.environ.get("KDSS_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
