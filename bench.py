@@ -262,9 +262,15 @@ def bench_train(args, mode: str) -> dict:
         mu_dtype="bfloat16" if args.mu_dtype == "bf16" else None,
     )
     state = TrainState.create(apply_fn=None, params=sparams, tx=tx)
+    copts = None
+    if not args.cpu:
+        copts = dict(SCOPED_VMEM_OPTS)
+        for kv in args.xla_opt:
+            k, v = kv.split("=", 1)
+            copts[k] = v
     step = jax.jit(
         make_train_step(models, cfg), donate_argnums=(0,),
-        compiler_options=None if args.cpu else SCOPED_VMEM_OPTS,
+        compiler_options=copts,
     )
 
     # Sync caveat: through the axon tunnel ``block_until_ready`` returns
@@ -462,7 +468,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--teacher_quant",
                     choices=["none", "int8", "int8_full"],
-                    default="none",
+                    default="int8_full",
                     help="int8: w8a8 decoder-block matmuls for the frozen "
                     "teacher (MXU int8 path measures ~1.6x bf16; halves "
                     "teacher weight HBM) — see ops/int8.py")
@@ -481,6 +487,10 @@ def main() -> None:
                     "bandwidth-bound; int8 halves the bytes)")
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="capture a jax.profiler trace of the timed steps")
+    ap.add_argument("--xla_opt", action="append", default=[],
+                    help="extra per-compile XLA compiler options key=val "
+                    "(A/B experiments, e.g. scheduler knobs for the B=2 "
+                    "HBM chase)")
     ap.add_argument("--mesh", type=str, default=None,
                     help="d,f,t: run the train modes under a "
                     "jax.sharding.Mesh with the production multi-chip "
