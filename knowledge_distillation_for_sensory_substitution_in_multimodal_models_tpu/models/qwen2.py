@@ -152,9 +152,13 @@ class Qwen2Attention(nn.Module):
                     q, k, v, mask=kv_mask, causal=True, impl=self.attn_impl
                 )
             else:
-                # Decode steps (Sq=1) stay on the XLA path; flash blocks are
-                # sized for prefill/training lengths.
-                out = dot_product_attention(q, k, v, mask=mask, causal=False)
+                # Decode steps (Sq=1): grouped-GQA einsum — never
+                # materializes K/V repeated to the query head count (that
+                # re-broadcast of the whole cache per layer per step was
+                # ~60% of the profiled decode step, PERF_NOTES r3).
+                from ..ops.attention import gqa_decode_attention
+
+                out = gqa_decode_attention(q, k, v, mask=mask)
         else:
             impl = self.attn_impl if s >= 128 else "xla"
             out = dot_product_attention(q, k, v, mask=mask, causal=True, impl=impl)

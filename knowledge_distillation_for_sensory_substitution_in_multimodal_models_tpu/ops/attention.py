@@ -86,6 +86,46 @@ def xla_chunked_attention(
     return out[:, :sq]
 
 
+def gqa_decode_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Single/few-token decode attention without GQA materialization.
+
+    The stock XLA path repeats K/V to the query head count first
+    (``_repeat_kv``) — at decode that re-broadcasts the whole KV cache
+    ([B, S_total, Hq, D], ~7x the stored bytes for the 0.5B student's
+    14q/2kv) on EVERY step of EVERY layer; profiled at ~60% of the decode
+    step (docs/PERF_NOTES.md r3).  Here the query is reshaped to
+    [B, Sq, Hkv, G, D] and contracted against the cache directly, so the
+    only KV traffic is the cache itself.
+
+    mask: [B, 1, Sq, Skv] or [B, Sq, Skv] boolean, True = attend.
+    """
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    g = hq // hkv
+    scale = (d**-0.5) if scale is None else scale
+    qg = q.reshape(b, sq, hkv, g, d)
+    logits = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        if mask.ndim == 3:
+            mask = mask[:, None]
+        # [B, 1, Sq, Skv] -> [B, 1, 1, Sq, Skv] over (hkv, g)
+        logits = jnp.where(mask[:, :, None], logits, -jnp.inf)
+    all_masked = jnp.all(jnp.isneginf(logits), axis=-1, keepdims=True)
+    logits = jnp.where(all_masked, 0.0, logits)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(b, sq, hq, d)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -278,6 +278,12 @@ def fused_kl_sum(
     vd = student_head_layout == "vd"
     n, _ = student_hidden.shape
     v_real = student_head.shape[0] if vd else student_head.shape[1]
+    if teacher_head.shape[1] < v_real:
+        raise ValueError(
+            f"teacher head vocab {teacher_head.shape[1]} < student vocab "
+            f"{v_real}: cols<v_real masking assumes teacher_vocab >= "
+            "student_vocab (prefix truncation)"
+        )
     inv_t = 1.0 / temperature
 
     hs = _pad_to(student_hidden, BN, 0)

@@ -173,3 +173,34 @@ def test_gqa_flash_grads_match_xla():
     for a, b_ in zip(gr, gg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("b,sq,hq,hkv,d", [
+    (1, 1, 14, 2, 64),   # 0.5B student decode shape
+    (2, 1, 4, 4, 64),    # MHA (no grouping)
+    (3, 2, 8, 2, 32),    # few-token decode, odd batch
+])
+def test_gqa_decode_matches_xla(b, sq, hq, hkv, d):
+    """gqa_decode_attention (grouped einsum, no K/V re-broadcast) must be
+    numerically identical to the repeat_kv XLA path on decode shapes."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.attention import (
+        gqa_decode_attention,
+    )
+
+    skv = 97  # cache length, non-multiple on purpose
+    q, k, v = _mk(b, sq, skv, hq, hkv, d, seed=11)
+    # decode mask: [B, 1, Sq, Skv], padding tail masked out
+    m = np.ones((b, 1, sq, skv), dtype=bool)
+    m[:, :, :, skv - 13:] = False
+    mask = jnp.asarray(m)
+
+    ref = dot_product_attention(q, k, v, mask=mask, causal=False)
+    got = gqa_decode_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+
+    # 3D mask form and the all-masked row guard
+    m3 = np.ones((b, sq, skv), dtype=bool)
+    m3[0, :, :] = False  # fully-masked row must produce finite output
+    got3 = gqa_decode_attention(q, k, v, mask=jnp.asarray(m3))
+    assert np.isfinite(np.asarray(got3)).all()

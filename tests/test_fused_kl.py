@@ -76,3 +76,30 @@ def test_fused_kl_vd_layout_matches_dv():
                                atol=1e-6, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gwvd), np.asarray(rw).T,
                                atol=1e-6, rtol=1e-4)
+
+
+def test_smaller_teacher_vocab_fails_loudly():
+    """cols<v_real masking assumes teacher_vocab >= student_vocab; a
+    smaller teacher head must raise instead of contributing garbage
+    (ADVICE r2 #3)."""
+    import pytest
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_kl import (
+        fused_kl_sum,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_loca import (
+        fused_loca_sum,
+        fused_loca_ce_sums,
+    )
+
+    n, d, vs, vt = 8, 32, 64, 48  # teacher vocab < student vocab
+    hs = jnp.zeros((n, d), jnp.float32)
+    ws = jnp.zeros((d, vs), jnp.float32)
+    ht = jnp.zeros((n, d), jnp.float32)
+    wt = jnp.zeros((d, vt), jnp.float32)
+    lab = jnp.zeros((n,), jnp.int32)
+    with pytest.raises(ValueError, match="teacher head vocab"):
+        fused_kl_sum(hs, ws, ht, wt)
+    with pytest.raises(ValueError, match="teacher head vocab"):
+        fused_loca_sum(hs, ws, ht, wt, lab)
+    with pytest.raises(ValueError, match="teacher head vocab"):
+        fused_loca_ce_sums(hs, ws, ht, wt, lab, lab)
