@@ -215,8 +215,12 @@ def bench_train(args, mode: str) -> dict:
         teacher = LlavaOnevision(
             tcfg, dtype=dtype, remat=remat, remat_vision=remat_vision,
             attn_impl=attn_impl,
-            lm_quant="int8" if tq in ("int8", "int8_full") else "none",
-            vision_quant="int8" if tq == "int8_full" else "none",
+            # under a mesh the teacher TP shards these dots via GSPMD, which
+            # cannot partition the fused Pallas int8 kernel -> pin the XLA form
+            lm_quant=("int8_xla" if mesh is not None else "int8")
+            if tq in ("int8", "int8_full") else "none",
+            vision_quant=("int8_xla" if mesh is not None else "int8")
+            if tq == "int8_full" else "none",
         )
         tparams = _materialize(_shapes(
             LlavaOnevision(tcfg, dtype=dtype), micro, 1, "teacher"), 1, dtype)

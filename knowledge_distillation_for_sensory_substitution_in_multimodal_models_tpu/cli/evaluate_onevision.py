@@ -112,9 +112,12 @@ def main(argv=None):
             quantize_lm_params_int8,
             include_vision=args.quant == "int8_full",
         ))(params)
+        # pallas_spmd => sharded mesh program; GSPMD cannot partition the
+        # fused Pallas int8 kernel, so pin the XLA w8a8 form there
+        q8 = "int8_xla" if attn_impl == "pallas_spmd" else "int8"
         student = LlavaOnevision(
-            scfg, dtype=dtype, attn_impl=attn_impl, lm_quant="int8",
-            vision_quant="int8" if args.quant == "int8_full" else "none",
+            scfg, dtype=dtype, attn_impl=attn_impl, lm_quant=q8,
+            vision_quant=q8 if args.quant == "int8_full" else "none",
         )
 
     depth_encoding = (

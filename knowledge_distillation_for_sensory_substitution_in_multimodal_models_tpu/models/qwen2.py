@@ -18,6 +18,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from ..configs import Qwen2Config
 from ..ops.attention import dot_product_attention
 from ..ops.int8 import int8_matmul
@@ -34,6 +36,11 @@ class QDense(nn.Module):
     features: int
     use_bias: bool = False
     dtype: jnp.dtype = jnp.float32
+    # "auto" (= the XLA w8a8 form unless KDSS_INT8_IMPL=pallas opts into
+    # the fused kernel — see ops/int8.py's A/B record) or "xla": the
+    # GSPMD-partitionable form, pinned inside TP-sharded mesh programs
+    # where a Pallas custom call cannot be partitioned by the compiler.
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -46,11 +53,27 @@ class QDense(nn.Module):
             "kernel_scale", nn.initializers.ones, (self.features,),
             jnp.float32,
         )
-        y = int8_matmul(x, wq, ws, out_dtype=self.dtype)
+        y = int8_matmul(x, wq, ws, out_dtype=self.dtype, impl=self.impl)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + b.astype(self.dtype)
         return y
+
+
+def qdense_cls(quant: str):
+    """Dense class for a ``quant`` mode string.
+
+    ``"none"`` -> ``nn.Dense``; ``"int8"`` -> QDense with auto impl (the
+    XLA w8a8 form unless ``KDSS_INT8_IMPL=pallas``); ``"int8_xla"`` ->
+    QDense pinned to the GSPMD-partitionable XLA form — required inside
+    TP-sharded mesh programs, where the partitioner cannot split a Pallas
+    custom call.
+    """
+    if quant.startswith("int8"):
+        return functools.partial(
+            QDense, impl="xla" if quant == "int8_xla" else "auto"
+        )
+    return nn.Dense
 
 
 class RMSNorm(nn.Module):
@@ -105,7 +128,7 @@ class Qwen2Attention(nn.Module):
         c = self.cfg
         b, s, _ = x.shape
         hd = c.head_dim
-        dense = QDense if self.quant == "int8" else nn.Dense
+        dense = qdense_cls(self.quant)
         q = dense(c.num_attention_heads * hd, use_bias=c.attention_bias,
                   dtype=self.dtype, name="q_proj")(x)
         k = dense(c.num_key_value_heads * hd, use_bias=c.attention_bias,
@@ -177,7 +200,7 @@ class Qwen2MLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
-        dense = QDense if self.quant == "int8" else nn.Dense
+        dense = qdense_cls(self.quant)
         gate = dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
                      name="gate_proj")(x)
         up = dense(c.intermediate_size, use_bias=False, dtype=self.dtype,

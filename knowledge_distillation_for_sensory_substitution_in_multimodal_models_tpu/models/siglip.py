@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..configs import SigLIPVisionConfig
 from ..ops.attention import dot_product_attention
-from .qwen2 import QDense
+from .qwen2 import qdense_cls
 
 
 class SigLIPAttention(nn.Module):
@@ -35,7 +35,7 @@ class SigLIPAttention(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
         b, s, _ = x.shape
-        cls = QDense if self.quant == "int8" else nn.Dense
+        cls = qdense_cls(self.quant)
         dense = lambda name: cls(  # noqa: E731
             c.hidden_size, use_bias=True, dtype=self.dtype, name=name
         )
@@ -55,7 +55,7 @@ class SigLIPMLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
-        cls = QDense if self.quant == "int8" else nn.Dense
+        cls = qdense_cls(self.quant)
         h = cls(c.intermediate_size, use_bias=True, dtype=self.dtype,
                 name="fc1")(x)
         h = nn.gelu(h, approximate=True)  # gelu_pytorch_tanh

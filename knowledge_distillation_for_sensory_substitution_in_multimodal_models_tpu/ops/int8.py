@@ -27,10 +27,13 @@ this is TPU-native headroom for the KD product.
 
 from __future__ import annotations
 
+import os as _os
 from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # Modules whose "kernel" is replaced by ("kernel_q", "kernel_scale").
 # Must match the QDense call sites in models/qwen2.py exactly.
@@ -58,7 +61,7 @@ def absmax_quantize_weight(
     return wq, scale.astype(jnp.float32)
 
 
-def int8_matmul(
+def int8_matmul_xla(
     x: jnp.ndarray,
     wq: jnp.ndarray,
     wscale: jnp.ndarray,
@@ -68,7 +71,10 @@ def int8_matmul(
 
     The int8 x int8 -> int32 ``dot_general`` is what engages the MXU's
     double-rate int8 path; everything around it is elementwise VPU work that
-    XLA fuses into the surrounding program.
+    XLA fuses into the surrounding program.  This is the default form
+    everywhere: GSPMD-partitionable (plain HLO) for the TP-sharded
+    teacher, and measured faster end-to-end than the fused Pallas kernel
+    below (see ``int8_matmul``'s docstring for the A/B).
     """
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
@@ -82,6 +88,139 @@ def int8_matmul(
     )
     y = acc.astype(jnp.float32) * (amax / 127.0) * wscale[None, :]
     return y.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas w8a8 matmul (opt-in; measured A/B kept for the record)
+#
+# Motivation: the XLA form costs ~12 ms/step of standalone activation-
+# quant fusions on the KD bench (convert_reduce + clamp_convert over
+# every projection input).  Here the quant runs on the VPU inside the
+# matmul kernel itself, per [BN, BK] block as it streams through VMEM
+# (quant is O(BN*BK) per grid step vs the dot's O(BN*BM*BK)).
+#
+# Outcome (v5e, r3): isolated parity with the XLA int8 dot (178.6 vs
+# 181.2 TOP/s at [3072,2048]x[2048,2048]) but -21% end-to-end on the KD
+# step — the producer/consumer elementwise fusions XLA loses across the
+# custom-call boundary at every projection cost more than the quant
+# passes saved.  Default stays XLA; opt in via KDSS_INT8_IMPL=pallas.
+#
+# Scales are per-row *per-K-block* (finer than the XLA form's per-row
+# global scale, so quantization error is no worse); with a single K block
+# (K <= BK) the two forms compute identical values.  Accumulation is f32
+# across K blocks in a VMEM scratch; the per-output-channel weight scale
+# applies once at the last K step.
+# ---------------------------------------------------------------------------
+
+_INT8_BN = int(_os.environ.get("KDSS_INT8_BN", "256"))
+_INT8_BM = int(_os.environ.get("KDSS_INT8_BM", "512"))
+_INT8_BK = int(_os.environ.get("KDSS_INT8_BK", "512"))
+
+
+def _pick_block(dim: int, pref: int) -> int:
+    """Largest power-of-two block <= pref that divides dim (>=128)."""
+    b = pref
+    while b > 128 and dim % b:
+        b //= 2
+    return b
+
+
+def _int8_mm_kernel(x_ref, wq_ref, ws_ref, o_ref, acc_ref):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xf = x_ref[:].astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-6)
+    xq = jnp.clip(jnp.round(xf * (127.0 / amax)), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_ref[:] += acc.astype(jnp.float32) * (amax * (1.0 / 127.0))
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _done():
+        o_ref[:] = (acc_ref[:] * ws_ref[:]).astype(o_ref.dtype)
+
+
+def int8_matmul_pallas(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    wscale: jnp.ndarray,
+    out_dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Fused act-quant + int8 MXU matmul.  Requires K, M divisible by 128.
+
+    Leading dims of ``x`` flatten to rows; a ragged row count is padded up
+    to the row block (padded rows quantize garbage but only pollute their
+    own dropped output rows — the dot is row-local in x).
+    """
+    *lead, k = x.shape
+    n = 1
+    for d in lead:
+        n *= d
+    m = wq.shape[1]
+    x2 = x.reshape(n, k)
+    bn = _pick_block(max(n, 128), _INT8_BN)
+    bm = _pick_block(m, _INT8_BM)
+    bk = _pick_block(k, _INT8_BK)
+    if k % bk or m % bm:
+        return int8_matmul_xla(x, wq, wscale, out_dtype)
+    n_pad = -n % bn
+    if n_pad:
+        x2 = jnp.pad(x2, ((0, n_pad), (0, 0)))
+    grid = ((n + n_pad) // bn, m // bm, k // bk)
+    out = pl.pallas_call(
+        _int8_mm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk, bm), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, bm), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bn, bm), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((n + n_pad, m), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bn, bm), jnp.float32)],
+    )(x2, wq, wscale.reshape(1, m).astype(jnp.float32))
+    return out[:n].reshape(*lead, m)
+
+
+def int8_matmul(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,
+    wscale: jnp.ndarray,
+    out_dtype: jnp.dtype = jnp.bfloat16,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatch.  ``auto`` resolves to the XLA form: the fused Pallas kernel
+    was measured at isolated parity with XLA's int8 dot (178.6 vs 181.2
+    TOP/s at the teacher projection shape on v5e) but **-21% end-to-end**
+    on the KD step (2.375 vs 3.019 samples/s) — the standalone quant
+    fusions it eliminates (~12 ms/step) cost less than the producer/
+    consumer elementwise fusions XLA loses across the custom-call
+    boundary at every projection.  Kept as an opt-in (``impl="pallas"`` or
+    ``KDSS_INT8_IMPL=pallas``) with the A/B recorded in PERF_NOTES; the
+    XLA form is also what GSPMD-sharded mesh programs require (the
+    partitioner cannot split a Pallas custom call).
+    """
+    if impl == "auto":
+        impl = _os.environ.get("KDSS_INT8_IMPL", "xla")
+    if impl == "pallas":
+        *lead, k = x.shape
+        n = 1
+        for d in lead:
+            n *= d
+        if (
+            jax.default_backend() != "cpu"
+            and n >= 256
+            and k % 128 == 0
+            and wq.shape[1] % 128 == 0
+        ):
+            return int8_matmul_pallas(x, wq, wscale, out_dtype)
+    return int8_matmul_xla(x, wq, wscale, out_dtype)
 
 
 def _quantize_tree(tree: Dict[str, Any], names=QUANTIZED_PROJ_NAMES) -> Dict[str, Any]:

@@ -139,8 +139,9 @@ def build_kd_step_for_aot(
     teacher = LlavaOnevision(
         tcfg, dtype=param_dtype, remat=True, remat_vision=True,
         attn_impl=attn_impl,
-        lm_quant="int8" if quant else "none",
-        vision_quant="int8" if teacher_quant == "int8_full" else "none",
+        # mesh program: GSPMD cannot partition the Pallas int8 kernel
+        lm_quant="int8_xla" if quant else "none",
+        vision_quant="int8_xla" if teacher_quant == "int8_full" else "none",
     )
 
     batch_np = synthetic_kd_batch(

@@ -294,3 +294,100 @@ def test_int8_teacher_kd_step_sharded_matches_single_device():
     np.testing.assert_allclose(
         float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas w8a8 kernel (ops/int8.py::int8_matmul_pallas): folds
+# activation quant into the matmul's VMEM pipeline; per-row-per-K-block
+# scales, f32 accumulation across K blocks.  Opt-in (KDSS_INT8_IMPL=pallas):
+# measured at isolated parity with the XLA int8 dot but -21% end-to-end on
+# the KD step (see ops/int8.py for the A/B record) — these tests keep the
+# kernel correct for future mesh-shape/XLA-version re-evaluation.
+# ---------------------------------------------------------------------------
+
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (  # noqa: E402
+    int8_matmul_pallas,
+    int8_matmul_xla,
+)
+
+
+def test_int8_pallas_matches_xla_single_kblock():
+    """K <= BK -> one K block, so the per-block scale IS the per-row global
+    scale and the Pallas kernel must agree with the XLA form to float-
+    association noise."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = (jax.random.normal(k1, (2, 384, 512), jnp.float32) * 3).astype(jnp.bfloat16)
+    w = jax.random.normal(k2, (512, 256), jnp.float32) * 0.05
+    wq, ws = absmax_quantize_weight(w)
+    ref = int8_matmul_xla(x, wq, ws, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = int8_matmul_pallas(x, wq, ws, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_int8_pallas_multi_kblock_fidelity():
+    """K > BK -> per-row-per-K-block scales: no longer bit-comparable to the
+    per-row-global XLA form, but quantization error vs the f32 matmul must
+    be no worse (finer scale granularity can only help)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(k1, (1, 256, 1024), jnp.float32).astype(jnp.bfloat16)
+    w = jax.random.normal(k2, (1024, 512), jnp.float32) * 0.05
+    wq, ws = absmax_quantize_weight(w)
+    f32 = x.astype(jnp.float32) @ w
+    with pltpu.force_tpu_interpret_mode():
+        out = int8_matmul_pallas(x, wq, ws, jnp.float32)
+    xla = int8_matmul_xla(x, wq, ws, jnp.float32)
+
+    def relerr(a, b):
+        return float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+
+    assert relerr(out, f32) < relerr(xla, f32) * 1.05
+
+
+def test_int8_pallas_ragged_rows():
+    """Row count not a multiple of the row block: padded rows must not
+    pollute real outputs (the dot is row-local in x)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(k1, (300, 512), jnp.float32).astype(jnp.bfloat16)
+    w = jax.random.normal(k2, (512, 128), jnp.float32) * 0.05
+    wq, ws = absmax_quantize_weight(w)
+    ref = int8_matmul_xla(x, wq, ws, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = int8_matmul_pallas(x, wq, ws, jnp.float32)
+    assert out.shape == (300, 128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+def test_int8_matmul_dispatch():
+    """auto -> XLA form (bit-identical); explicit impl args route."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    x = jax.random.normal(k1, (256, 256), jnp.float32).astype(jnp.bfloat16)
+    w = jax.random.normal(k2, (256, 128), jnp.float32) * 0.05
+    wq, ws = absmax_quantize_weight(w)
+    auto = int8_matmul(x, wq, ws, jnp.float32)
+    xla = int8_matmul(x, wq, ws, jnp.float32, impl="xla")
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(xla))
+
+
+def test_qdense_int8_xla_mode_matches_int8_on_cpu():
+    """quant="int8_xla" (mesh programs) and "int8" (auto) agree on CPU,
+    where auto also resolves to the XLA form."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.models.qwen2 import (
+        qdense_cls,
+    )
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    x = jax.random.normal(k1, (4, 96), jnp.bfloat16)
+    cls_auto = qdense_cls("int8")
+    cls_xla = qdense_cls("int8_xla")
+    m_auto = cls_auto(64, dtype=jnp.float32)
+    m_xla = cls_xla(64, dtype=jnp.float32)
+    p = m_auto.init(k2, x)
+    y_auto = m_auto.apply(p, x)
+    y_xla = m_xla.apply(p, x)
+    np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_xla))
+    import flax.linen as nn
+
+    assert qdense_cls("none") is nn.Dense
