@@ -200,8 +200,12 @@ def bench_train(args, mode: str) -> dict:
 
     remat = args.remat != "none"
     remat_vision = args.remat == "full"
+    # Student remat granularity: "dots" saves the projection outputs so
+    # backward recomputes only elementwise/attention work (the teacher has
+    # no backward, so its remat never recomputes — keep it "full").
     student = LlavaOnevision(scfg, dtype=dtype, remat=remat,
-                             remat_vision=remat_vision, attn_impl=attn_impl)
+                             remat_vision=remat_vision, attn_impl=attn_impl,
+                             remat_policy=args.remat_policy)
     batch = synthetic_kd_batch(
         scfg, batch_size=args.batch, seq_len=seq_len,
         orig_sizes=[orig] * args.batch, accum=1, seed=0,
@@ -506,6 +510,11 @@ def main() -> None:
                     choices=["full", "lm", "none"],
                     help="rematerialization A/B: full (both towers), lm "
                     "(LM only), none")
+    ap.add_argument("--remat_policy", type=str, default="full",
+                    choices=["full", "dots"],
+                    help="student remat granularity: full layer recompute "
+                    "or dots (save projection outputs, recompute only "
+                    "elementwise/attention — see models/qwen2.py)")
     args = ap.parse_args()
 
     import os

@@ -62,6 +62,12 @@ class LlavaOnevision(nn.Module):
     # recompute pass in backward
     remat: bool = False
     remat_vision: bool = True
+    # remat granularity for BOTH towers when remat is on: "full" (whole
+    # layer recomputed) or "dots" (weight-matmul outputs saved; only
+    # elementwise/attention recomputed).  See models/qwen2.py::_remat_policy.
+    # Only meaningful for the trained model — a frozen teacher has no
+    # backward, so its remat never recomputes anything.
+    remat_policy: str = "full"
     attn_impl: str = "xla"  # "pallas" = flash-attention kernels
     # "int8": w8a8 LM decoder-block projections (frozen-teacher inference
     # path; params via ops.int8.quantize_lm_params_int8).  Projector,
@@ -75,6 +81,7 @@ class LlavaOnevision(nn.Module):
         c = self.cfg
         self.vision_tower = SigLIPVisionTower(
             c.vision, self.dtype, remat=self.remat and self.remat_vision,
+            remat_policy=self.remat_policy,
             attn_impl=self.attn_impl, quant=self.vision_quant,
             name="vision_tower"
         )
@@ -85,7 +92,8 @@ class LlavaOnevision(nn.Module):
             (c.text.hidden_size,),
         )
         self.language_model = Qwen2LM(
-            c.text, self.dtype, remat=self.remat, attn_impl=self.attn_impl,
+            c.text, self.dtype, remat=self.remat,
+            remat_policy=self.remat_policy, attn_impl=self.attn_impl,
             quant=self.lm_quant, name="language_model"
         )
 

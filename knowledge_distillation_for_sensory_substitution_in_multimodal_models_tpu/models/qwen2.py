@@ -76,6 +76,22 @@ def qdense_cls(quant: str):
     return nn.Dense
 
 
+def _remat_policy(name: str):
+    """jax.checkpoint policy for a remat-policy string.
+
+    ``"full"`` (None) recomputes the whole layer in backward; ``"dots"``
+    saves weight-matmul outputs (dot_generals with no batch dims — the
+    qkv/o/gate/up/down projections) so backward recomputes only the
+    elementwise/attention work.  ~77 MB/layer extra live bf16 at S=3072
+    for the 0.5B student, in exchange for skipping ~2/3 of the remat
+    recompute FLOPs."""
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name not in ("full", "", None):
+        raise ValueError(f"unknown remat_policy {name!r}")
+    return None
+
+
 class RMSNorm(nn.Module):
     eps: float
     dtype: jnp.dtype = jnp.float32
@@ -246,6 +262,13 @@ class Qwen2LM(nn.Module):
     # the reference sketches torch gradient checkpointing but leaves it
     # commented (`phase1/OnlineKnowledge...:93-94`).
     remat: bool = False
+    # "full": recompute the whole layer in backward (lowest memory).
+    # "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable —
+    # weight-matmul outputs (qkv/o/gate/up/down) are saved and only the
+    # cheap elementwise/attention work is recomputed, trading ~77 MB/layer
+    # (S=3072 bf16) for skipping the projection re-FLOPs.  Only matters
+    # for models with a backward pass (the student).
+    remat_policy: str = "full"
     attn_impl: str = "xla"
     # "int8": w8a8 decoder-block projections (embed/norms/lm_head stay
     # bf16).  For the frozen KD teacher — see ops/int8.py.
@@ -259,7 +282,9 @@ class Qwen2LM(nn.Module):
             name="embed_tokens",
         )
         layer_cls = (
-            nn.remat(Qwen2Layer, prevent_cse=False) if self.remat else Qwen2Layer
+            nn.remat(Qwen2Layer, prevent_cse=False,
+                     policy=_remat_policy(self.remat_policy))
+            if self.remat else Qwen2Layer
         )
         self.layers = [
             layer_cls(c, self.dtype, self.attn_impl, self.quant,

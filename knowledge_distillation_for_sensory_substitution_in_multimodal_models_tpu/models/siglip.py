@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..configs import SigLIPVisionConfig
 from ..ops.attention import dot_product_attention
-from .qwen2 import qdense_cls
+from .qwen2 import _remat_policy, qdense_cls
 
 
 class SigLIPAttention(nn.Module):
@@ -88,6 +88,7 @@ class SigLIPVisionTower(nn.Module):
     # Recompute encoder layers in backward; the anyres tile batch makes
     # stored attention probs (~tiles x 16 x 729^2) the memory hot spot.
     remat: bool = False
+    remat_policy: str = "full"  # see models/qwen2.py::_remat_policy
     attn_impl: str = "xla"
     quant: str = "none"  # "int8": w8a8 encoder projections (ops/int8.py)
 
@@ -115,7 +116,8 @@ class SigLIPVisionTower(nn.Module):
         x = x + pos.astype(self.dtype)[None]
 
         layer_cls = (
-            nn.remat(SigLIPEncoderLayer, prevent_cse=False)
+            nn.remat(SigLIPEncoderLayer, prevent_cse=False,
+                     policy=_remat_policy(self.remat_policy))
             if self.remat
             else SigLIPEncoderLayer
         )

@@ -18,11 +18,23 @@ Calibration recap (T = temperature; probs at T):
 (rows with label < 0 keep the raw teacher distribution, matching the
 chunked path).  Values/grads parity-tested against ``loca_loss`` in
 tests/test_fused_loca.py.
+
+Two sweep-count reductions on top of the combined LoCa+CE pipeline (both
+default-on for the single-chip no-mesh path via ops/fused_spmd.py):
+
+- ``teacher_logits="materialize"``: the teacher logit matrix is computed
+  ONCE as a plain XLA matmul and streamed into every sweep instead of
+  being recomputed per sweep (KDSS_LOCA_TMAT; +3.1% KD step measured).
+- ``KDSS_LOCA_FUSED_BWD=1``: backward runs ONE sweep that contracts the
+  combined d_logits both ways (d_hidden via a persistent full-rows VMEM
+  accumulator, d_head via the standard per-vocab-block accumulator)
+  instead of two sweeps that each rebuild the logits block.
 """
 
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Tuple
 
 import jax
@@ -38,6 +50,17 @@ def _logits_block(h_ref, w_ref, inv_t):
         h_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * inv_t
+
+
+def _t_block(ht_ref, wt_ref, inv_t, tmat):
+    """Teacher logits block: recomputed from (hidden, head) or — when
+    ``tmat`` — streamed from a pre-materialized [N, V] f32 logit matrix
+    (already scaled by 1/T) passed in the ``ht`` slot.  Materializing
+    trades ~2·N·Dt·V re-FLOPs per sweep for one HBM read of the block —
+    a win whenever the [N, V] f32 buffer fits (single-chip B=1)."""
+    if tmat:
+        return ht_ref[:]
+    return _logits_block(ht_ref, wt_ref, inv_t)
 
 
 # --- student-head layout support -------------------------------------------
@@ -364,11 +387,33 @@ def _loca_rows(hs, ws, ht, wt, labels, v_real, inv_t, alpha, eps):
     return _loca_rows_impl(hs, ws, ht, wt, labels, v_real, inv_t, alpha, eps)[0]
 
 
+def _tmat_specs(q_major=True):
+    """Specs for the materialized-teacher-logits form: the ``ht`` slot
+    carries [BN, BV] blocks of the [N, V] f32 logit matrix; the ``wt``
+    slot a tiny unread dummy (Pallas needs a ref per input)."""
+    if q_major:
+        tmap = lambda i, j: (i, j)  # noqa: E731
+        dmap = lambda i, j: (0, 0)  # noqa: E731
+    else:
+        tmap = lambda j, i: (i, j)  # noqa: E731
+        dmap = lambda j, i: (0, 0)  # noqa: E731
+    return (
+        pl.BlockSpec((BN, BV), tmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 128), dmap, memory_space=pltpu.VMEM),
+    )
+
+
+_TMAT_DUMMY_SHAPE = (8, 128)
+
+
 def _call_rows(kernel, hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
                out_spec, out_shape, scratch, extra=(), q_major=True,
-               ws_spec=None):
+               ws_spec=None, tmat=False):
     hspec, cspec, rspec = _specs(d, q_major)
-    hspec_t, cspec_t, _ = _specs(dt, q_major)
+    if tmat:
+        hspec_t, cspec_t = _tmat_specs(q_major)
+    else:
+        hspec_t, cspec_t, _ = _specs(dt, q_major)
     if ws_spec is not None:
         cspec = ws_spec
     in_specs = [hspec, cspec, hspec_t, cspec_t, rspec] + [rspec] * (
@@ -549,7 +594,8 @@ def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref, labce_ref,
                      lses1_ref, golds1_ref,
                      sc_lsT, sc_lt, sc_g, sc_m1, sc_m2, sc_msT, sc_mt,
                      sc_ls1, sc_ms1, sc_gs,
-                     *, v_real: int, inv_t: float, n_v: int, vd: bool):
+                     *, v_real: int, inv_t: float, n_v: int, vd: bool,
+                     tmat: bool = False):
     """_stats_kernel + student T=1 logsumexp + student CE gold logit."""
     j = pl.program_id(1)
 
@@ -567,7 +613,7 @@ def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref, labce_ref,
         sc_gs[:] = jnp.zeros_like(sc_gs)
 
     s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
-    t = _logits_block(ht_ref, wt_ref, inv_t)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
     s1 = jnp.where(in_vocab, s_raw, NEG)
@@ -626,7 +672,7 @@ def _klts_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
                      lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
                      out_ref, tsum_ref, acc, acc_ts,
                      *, v_real: int, inv_t: float, n_v: int, eps: float,
-                     vd: bool):
+                     vd: bool, tmat: bool = False):
     """_kl_fwd_kernel that also emits tsum (sum of live loca) per row, so
     the backward skips its dedicated stats sweep."""
     j = pl.program_id(1)
@@ -637,7 +683,7 @@ def _klts_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         acc_ts[:] = jnp.zeros_like(acc_ts)
 
     s = _s_logits_block(hs_ref, ws_ref, inv_t, vd)
-    t = _logits_block(ht_ref, wt_ref, inv_t)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
     s = jnp.where(in_vocab, s, NEG)
@@ -695,7 +741,7 @@ def _dhs_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
                    g_ref, gce_ref, tsum_ref,
                    dhs_ref, acc,
                    *, v_real: int, inv_t: float, n_v: int, eps: float,
-                   vd: bool):
+                   vd: bool, tmat: bool = False):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -703,7 +749,7 @@ def _dhs_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         acc[:] = jnp.zeros_like(acc)
 
     s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
-    t = _logits_block(ht_ref, wt_ref, inv_t)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
     t = jnp.where(in_vocab, t, NEG)
@@ -730,7 +776,7 @@ def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
                    g_ref, gce_ref, tsum_ref,
                    dws_ref, acc,
                    *, v_real: int, inv_t: float, n_n: int, eps: float,
-                   vd: bool):
+                   vd: bool, tmat: bool = False):
     j, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
@@ -738,7 +784,7 @@ def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         acc[:] = jnp.zeros_like(acc)
 
     s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
-    t = _logits_block(ht_ref, wt_ref, inv_t)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
     t = jnp.where(in_vocab, t, NEG)
@@ -764,36 +810,134 @@ def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         dws_ref[:] = acc[:].astype(dws_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _dhsws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
+                     labce_ref, lses_ref, lset_ref, sc_row_ref, tval_ref,
+                     vmask_ref, lses1_ref, vmce_ref,
+                     g_ref, gce_ref, tsum_ref,
+                     dws_ref, dhs_ref, acc_w, acc_h,
+                     *, v_real: int, inv_t: float, n_n: int, n_v: int,
+                     eps: float, vd: bool, tmat: bool = False):
+    """Fused backward: one sweep computes the combined d_logits block and
+    contracts it BOTH ways (d_head and d_hidden), instead of recomputing
+    the student/teacher logits in two separate kernels.
+
+    Grid (n_v, n_n) — vocab-major like the dws kernel.  d_head accumulates
+    per-j in ``acc_w`` (flushed at the last row block).  d_hidden needs
+    the opposite ordering, so it accumulates in a persistent full-rows
+    VMEM scratch ``acc_h`` ([N, d] f32 — 11 MB at N=3072/d=896) across the
+    entire grid; each (j, i) program adds its contribution to rows
+    [i·BN, (i+1)·BN) and the final vocab round writes the finished row
+    blocks out.  (The dhs output block IS flushed on earlier vocab rounds
+    too — unwritten, carrying garbage — but the final round's flush lands
+    last in grid order and overwrites it.)"""
+    j, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        acc_h[:] = jnp.zeros_like(acc_h)
+
+    @pl.when(i == 0)
+    def _():
+        acc_w[:] = jnp.zeros_like(acc_w)
+
+    s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
+    cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
+    in_vocab = cols < v_real
+    t = jnp.where(in_vocab, t, NEG)
+    ds = _combined_ds(
+        s_raw, t, cols, in_vocab, lab_ref[:, 0], labce_ref[:, 0],
+        lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
+        lses1_ref, vmce_ref, g_ref, gce_ref, tsum_ref, inv_t, eps,
+    )
+    bn = hs_ref.shape[0]
+    w = _masked_ws(ws_ref, j, v_real, vd)
+    dsw = ds.astype(w.dtype)
+    # d_hidden contribution of this vocab block for this row block
+    acc_h[pl.ds(i * bn, bn), :] = acc_h[pl.ds(i * bn, bn), :] + (
+        jax.lax.dot_general(
+            dsw, w,
+            (((1,), (0,)), ((), ())) if vd else (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    )
+    # d_head contribution of this row block
+    if vd:
+        acc_w[:] = acc_w[:] + jax.lax.dot_general(
+            dsw, hs_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc_w[:] = acc_w[:] + jax.lax.dot_general(
+            hs_ref[:], dsw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i == n_n - 1)
+    def _():
+        dws_ref[:] = acc_w[:].astype(dws_ref.dtype)
+
+    @pl.when(j == n_v - 1)
+    def _():
+        dhs_ref[:] = acc_h[pl.ds(i * bn, bn), :].astype(dhs_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _loca_ce_rows(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha,
-                  eps, vd):
+                  eps, vd, tmat):
     (kl, ce), _ = _loca_ce_rows_impl(
-        hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha, eps, vd
+        hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha, eps, vd, tmat
     )
     return kl, ce
 
 
+def _materialize_t(ht, wt, inv_t):
+    """[N, V] f32 teacher logits at 1/T in one XLA matmul (same dot +
+    scale as ``_logits_block``, so values match the recompute form up to
+    f32 accumulation order)."""
+    t = jax.lax.dot_general(
+        ht, wt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return t if inv_t == 1.0 else t * inv_t
+
+
 def _loca_ce_rows_impl(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t,
-                       alpha, eps, vd):
+                       alpha, eps, vd, tmat):
+    if tmat:
+        t_in = _materialize_t(ht, wt, inv_t)
+        wt_in = jnp.zeros(_TMAT_DUMMY_SHAPE, jnp.float32)
+    else:
+        t_in, wt_in = ht, wt
+    return _loca_ce_rows_kernels(
+        hs, ws, t_in, wt_in, lab_loca, lab_ce, v_real, inv_t, alpha, eps,
+        vd, tmat,
+    )
+
+
+def _loca_ce_rows_kernels(hs, ws, t_in, wt_in, lab_loca, lab_ce, v_real,
+                          inv_t, alpha, eps, vd, tmat):
     n, d = hs.shape
-    dt = ht.shape[1]
+    dt = t_in.shape[1]
     v_width = ws.shape[0] if vd else ws.shape[1]
     n_n, n_v = n // BN, _cdiv(v_width, BV)
     hspec, _, rspec = _specs(d)
-    hspec_t, cspec_t, _ = _specs(dt)
+    if tmat:
+        hspec_t, cspec_t = _tmat_specs()
+    else:
+        hspec_t, cspec_t, _ = _specs(dt)
     wspec = _ws_block_spec(d, vd)
     lab2 = lab_loca[:, None].astype(jnp.int32)
     labce2 = lab_ce[:, None].astype(jnp.int32)
     outs = pl.pallas_call(
         functools.partial(_stats_ce_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, vd=vd),
+                          n_v=n_v, vd=vd, tmat=tmat),
         grid=(n_n, n_v),
         in_specs=[hspec, wspec, hspec_t, cspec_t, rspec, rspec],
         out_specs=[rspec] * 7,
         out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 7,
         scratch_shapes=[pltpu.VMEM((BN, 128), jnp.float32)] * 10,
         compiler_params=pltpu.CompilerParams(**_SEM),
-    )(hs, ws, ht, wt, lab2, labce2)
+    )(hs, ws, t_in, wt_in, lab2, labce2)
     lse_sT, lse_t, gold_t, m1, m2, lse_s1, gold_s1 = (o[:, 0] for o in outs)
 
     valid = lab_loca >= 0
@@ -805,32 +949,35 @@ def _loca_ce_rows_impl(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t,
             tval[:, None], valid[:, None].astype(jnp.int32)]
     kl, tsum = _call_rows(
         functools.partial(_klts_fwd_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, eps=eps, vd=vd),
-        hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
+                          n_v=n_v, eps=eps, vd=vd, tmat=tmat),
+        hs, ws, t_in, wt_in, lab2, rows, n, d, dt, n_n, n_v,
         [rspec, rspec],
         [jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 2,
         [pltpu.VMEM((BN, 128), jnp.float32)] * 2,
-        ws_spec=wspec,
+        ws_spec=wspec, tmat=tmat,
     )
     valid_ce = (lab_ce >= 0).astype(jnp.float32)
     ce_rows = (lse_s1 - gold_s1) * valid_ce
-    res = (rows, lab2, labce2, lse_s1[:, None], valid_ce[:, None], tsum)
+    res = (t_in, wt_in, rows, lab2, labce2, lse_s1[:, None],
+           valid_ce[:, None], tsum)
     return (kl[:, 0], ce_rows), res
 
 
 def _loca_ce_rows_fwd(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t,
-                      alpha, eps, vd):
+                      alpha, eps, vd, tmat):
     (kl, ce), res = _loca_ce_rows_impl(
-        hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha, eps, vd
+        hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha, eps, vd, tmat
     )
+    # res carries t_in (the materialized [N, V] logits when tmat — reused
+    # by all three backward sweeps instead of recomputing the teacher dot)
     return (kl, ce), (hs, ws, ht, wt) + res
 
 
-def _loca_ce_rows_bwd(v_real, inv_t, alpha, eps, vd, res, g):
-    hs, ws, ht, wt, rows, lab2, labce2, lse_s1, vmce, tsum = res
+def _loca_ce_rows_bwd(v_real, inv_t, alpha, eps, vd, tmat, res, g):
+    hs, ws, ht, wt, t_in, wt_in, rows, lab2, labce2, lse_s1, vmce, tsum = res
     g_kl, g_ce = g
     n, d = hs.shape
-    dt = ht.shape[1]
+    dt = t_in.shape[1]
     v_width = ws.shape[0] if vd else ws.shape[1]
     n_n, n_v = n // BN, _cdiv(v_width, BV)
     hspec, _, _ = _specs(d)
@@ -839,23 +986,39 @@ def _loca_ce_rows_bwd(v_real, inv_t, alpha, eps, vd, res, g):
     ordered_rows = [labce2] + rows + [lse_s1, vmce]
     extra = (g_kl[:, None].astype(jnp.float32),
              g_ce[:, None].astype(jnp.float32), tsum)
+    if _os.environ.get("KDSS_LOCA_FUSED_BWD", "0") == "1":
+        hspec_i, _, _ = _specs(d, q_major=False)
+        dws, dhs = _call_rows(
+            functools.partial(_dhsws_ce_kernel, v_real=v_real, inv_t=inv_t,
+                              n_n=n_n, n_v=n_v, eps=eps, vd=vd, tmat=tmat),
+            hs, ws, t_in, wt_in, lab2, ordered_rows, n, d, dt, n_n, n_v,
+            [_ws_block_spec(d, vd, q_major=False), hspec_i],
+            [jax.ShapeDtypeStruct(ws.shape, ws.dtype),
+             jax.ShapeDtypeStruct((n, d), hs.dtype)],
+            [pltpu.VMEM((BV, d) if vd else (d, BV), jnp.float32),
+             pltpu.VMEM((n, d), jnp.float32)],
+            extra=extra, q_major=False,
+            ws_spec=_ws_block_spec(d, vd, q_major=False), tmat=tmat,
+        )
+        return (dhs, dws, jnp.zeros_like(ht), jnp.zeros_like(wt),
+                None, None)
     dhs = _call_rows(
         functools.partial(_dhs_ce_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, eps=eps, vd=vd),
-        hs, ws, ht, wt, lab2, ordered_rows, n, d, dt, n_n, n_v,
+                          n_v=n_v, eps=eps, vd=vd, tmat=tmat),
+        hs, ws, t_in, wt_in, lab2, ordered_rows, n, d, dt, n_n, n_v,
         hspec, jax.ShapeDtypeStruct((n, d), hs.dtype),
         [pltpu.VMEM((BN, d), jnp.float32)],
-        extra=extra, ws_spec=_ws_block_spec(d, vd),
+        extra=extra, ws_spec=_ws_block_spec(d, vd), tmat=tmat,
     )
     dws = _call_rows(
         functools.partial(_dws_ce_kernel, v_real=v_real, inv_t=inv_t,
-                          n_n=n_n, eps=eps, vd=vd),
-        hs, ws, ht, wt, lab2, ordered_rows, n, d, dt, n_n, n_v,
+                          n_n=n_n, eps=eps, vd=vd, tmat=tmat),
+        hs, ws, t_in, wt_in, lab2, ordered_rows, n, d, dt, n_n, n_v,
         _ws_block_spec(d, vd, q_major=False),
         jax.ShapeDtypeStruct(ws.shape, ws.dtype),
         [pltpu.VMEM((BV, d) if vd else (d, BV), jnp.float32)],
         extra=extra, q_major=False,
-        ws_spec=_ws_block_spec(d, vd, q_major=False),
+        ws_spec=_ws_block_spec(d, vd, q_major=False), tmat=tmat,
     )
     return (dhs, dws, jnp.zeros_like(ht), jnp.zeros_like(wt), None, None)
 
@@ -874,6 +1037,7 @@ def fused_loca_ce_sums(
     alpha: float = 0.8,
     eps: float = 1e-8,
     student_head_layout: str = "dv",
+    teacher_logits: str = "recompute",
 ):
     """(LoCa row-sum total, CE NLL sum, CE valid count) in one pipeline.
 
@@ -881,11 +1045,20 @@ def fused_loca_ce_sums(
     student's embedding table natively, avoiding its 260 MB layout-copy
     per step — and returns d_head in [V, D] too.
 
+    ``teacher_logits="materialize"`` computes the [N, V] f32 teacher
+    logit matrix ONCE (one XLA matmul) and streams blocks of it through
+    all four sweeps, instead of recomputing the 2·N·Dt·V teacher dot in
+    every sweep.  Costs N·V·4 bytes of HBM held fwd→bwd (~1.9 GB at
+    N=3072, V=152k) — the single-chip B=1 configuration affords it; the
+    row-sharded mesh path keeps "recompute" (per-shard N is small and
+    the buffer would multiply per chip).
+
     ``loca_labels`` are the UNSHIFTED labels the calibration indexes
     (reference quirk, SURVEY.md §2.5 #3); ``ce_labels`` the shifted
     next-token targets with -100 ignored.  Row-sharded callers
     (ops/fused_spmd.py) psum all three before the global reductions.
     """
+    tmat = teacher_logits == "materialize"
     vd = student_head_layout == "vd"
     n = student_hidden.shape[0]
     v_real = student_head.shape[0] if vd else student_head.shape[1]
@@ -919,7 +1092,7 @@ def fused_loca_ce_sums(
         wt = _pad_to(wt, 128, 0)
 
     kl_rows, ce_rows = _loca_ce_rows(
-        hs, ws, ht, wt, lab, labce, v_real, inv_t, alpha, eps, vd
+        hs, ws, ht, wt, lab, labce, v_real, inv_t, alpha, eps, vd, tmat
     )
     count = (ce_labels >= 0).sum()
     return kl_rows[:n].sum(), ce_rows[:n].sum(), count
@@ -936,6 +1109,7 @@ def fused_loca_ce_loss(
     alpha: float = 0.8,
     eps: float = 1e-8,
     student_head_layout: str = "dv",
+    teacher_logits: str = "recompute",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(LoCa loss, CE loss) — matches ``fused_loca_loss`` +
     ``fused_ce.fused_ce_loss`` exactly, at 4 head sweeps instead of 13."""
@@ -946,6 +1120,7 @@ def fused_loca_ce_loss(
         student_hidden, student_head, teacher_hidden, teacher_head,
         loca_labels, ce_labels, temperature=temperature, alpha=alpha,
         eps=eps, student_head_layout=student_head_layout,
+        teacher_logits=teacher_logits,
     )
     loca = kl_sum / (n * v_real) * (temperature ** 2)
     ce = ce_sum / jnp.maximum(count, 1)

@@ -107,3 +107,87 @@ def test_fused_loca_ce_vd_layout_matches_dv():
                                rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(gwvd), np.asarray(rw).T,
                                rtol=2e-4, atol=2e-6)
+
+@pytest.mark.parametrize("vd_layout", ["dv", "vd"])
+def test_fused_loca_ce_materialized_teacher_matches_recompute(vd_layout):
+    """teacher_logits="materialize" (one XLA teacher matmul streamed into
+    the sweeps) must reproduce the recompute form: same dot + scale, so
+    values/grads agree to f32 accumulation order."""
+    n, ds, dt, v, vt, temp, alpha = 64, 128, 256, 300, 340, 0.8, 0.8
+    rng = np.random.default_rng(7)
+    hs = jnp.asarray(rng.normal(size=(n, ds)).astype(np.float32))
+    ht = jnp.asarray(rng.normal(size=(n, dt)).astype(np.float32))
+    ws0 = rng.normal(size=(ds, v)).astype(np.float32) * 0.05
+    ws = jnp.asarray(ws0.T if vd_layout == "vd" else ws0)
+    wt = jnp.asarray(rng.normal(size=(dt, vt)).astype(np.float32) * 0.05)
+    loca_labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    loca_labels[:7] = -100
+    ce_labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    ce_labels[-9:] = -100
+    loca_labels, ce_labels = jnp.asarray(loca_labels), jnp.asarray(ce_labels)
+
+    def run(mode):
+        def f(hs_, ws_):
+            loca, ce = fused_loca_ce_loss(
+                hs_, ws_, ht, wt, loca_labels, ce_labels,
+                temperature=temp, alpha=alpha,
+                student_head_layout=vd_layout, teacher_logits=mode,
+            )
+            return 0.8 * loca + ce, (loca, ce)
+        with pltpu.force_tpu_interpret_mode():
+            (tot, (loca, ce)), (gh, gw) = jax.value_and_grad(
+                f, argnums=(0, 1), has_aux=True
+            )(hs, ws)
+        return tot, loca, ce, gh, gw
+
+    tot_r, loca_r, ce_r, gh_r, gw_r = run("recompute")
+    tot_m, loca_m, ce_m, gh_m, gw_m = run("materialize")
+
+    np.testing.assert_allclose(float(loca_m), float(loca_r),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(ce_m), float(ce_r),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gh_m), np.asarray(gh_r),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw_m), np.asarray(gw_r),
+                               rtol=1e-4, atol=1e-6)
+
+@pytest.mark.parametrize("vd_layout,tmode", [
+    ("dv", "recompute"), ("vd", "recompute"), ("vd", "materialize"),
+])
+def test_fused_loca_ce_fused_bwd_matches_separate(monkeypatch, vd_layout,
+                                                  tmode):
+    """KDSS_LOCA_FUSED_BWD=1 (one dhs+dws sweep) must reproduce the
+    two-kernel backward exactly."""
+    n, ds, dt, v, vt, temp, alpha = 64, 128, 256, 300, 340, 0.8, 0.8
+    rng = np.random.default_rng(11)
+    hs = jnp.asarray(rng.normal(size=(n, ds)).astype(np.float32))
+    ht = jnp.asarray(rng.normal(size=(n, dt)).astype(np.float32))
+    ws0 = rng.normal(size=(ds, v)).astype(np.float32) * 0.05
+    ws = jnp.asarray(ws0.T if vd_layout == "vd" else ws0)
+    wt = jnp.asarray(rng.normal(size=(dt, vt)).astype(np.float32) * 0.05)
+    loca_labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    loca_labels[:7] = -100
+    ce_labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    ce_labels[-9:] = -100
+    loca_labels, ce_labels = jnp.asarray(loca_labels), jnp.asarray(ce_labels)
+
+    def f(hs_, ws_):
+        loca, ce = fused_loca_ce_loss(
+            hs_, ws_, ht, wt, loca_labels, ce_labels,
+            temperature=temp, alpha=alpha,
+            student_head_layout=vd_layout, teacher_logits=tmode,
+        )
+        return 0.8 * loca + ce
+
+    monkeypatch.setenv("KDSS_LOCA_FUSED_BWD", "0")
+    with pltpu.force_tpu_interpret_mode():
+        gh_r, gw_r = jax.grad(f, argnums=(0, 1))(hs, ws)
+    monkeypatch.setenv("KDSS_LOCA_FUSED_BWD", "1")
+    with pltpu.force_tpu_interpret_mode():
+        gh_f, gw_f = jax.grad(f, argnums=(0, 1))(hs, ws)
+
+    np.testing.assert_allclose(np.asarray(gh_f), np.asarray(gh_r),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                               rtol=1e-5, atol=1e-7)
