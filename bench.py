@@ -208,7 +208,7 @@ def bench_train(args, mode: str) -> dict:
                              remat_policy=args.remat_policy)
     batch = synthetic_kd_batch(
         scfg, batch_size=args.batch, seq_len=seq_len,
-        orig_sizes=[orig] * args.batch, accum=1, seed=0,
+        orig_sizes=[orig] * args.batch, accum=args.accum, seed=0,
     )
     batch = jax.tree.map(jnp.asarray, batch)
     micro = jax.tree.map(lambda x: x[0], batch)
@@ -325,7 +325,7 @@ def bench_train(args, mode: str) -> dict:
         print("WARNING: loss did not evolve across steps — timing may not "
               "reflect real execution", file=sys.stderr)
 
-    samples_per_sec = args.steps * args.batch / dt
+    samples_per_sec = args.steps * args.batch * args.accum / dt
     nt = num_tiles(orig, scfg.image_grid_pinpoints, scfg.vision.image_size)
     fl = _flops_per_sample(
         state.params, seq_len, min(nt, scfg.max_tiles),
@@ -474,6 +474,11 @@ def main() -> None:
                     "the realistic S=3072 workload via the fused LoCa "
                     "kernels (measured r2; phase 1: 2.84 samples/s)")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation micro-batches per step "
+                    "(lax.scan inside the jit step; the reference trains "
+                    "with accumulate_grad_batches=64, which amortizes the "
+                    "optimizer update the accum=1 bench pays per sample)")
     ap.add_argument("--teacher_quant",
                     choices=["none", "int8", "int8_full"],
                     default="int8_full",
@@ -511,7 +516,7 @@ def main() -> None:
                     help="rematerialization A/B: full (both towers), lm "
                     "(LM only), none")
     ap.add_argument("--remat_policy", type=str, default="full",
-                    choices=["full", "dots"],
+                    choices=["full", "dots", "flash"],
                     help="student remat granularity: full layer recompute "
                     "or dots (save projection outputs, recompute only "
                     "elementwise/attention — see models/qwen2.py)")

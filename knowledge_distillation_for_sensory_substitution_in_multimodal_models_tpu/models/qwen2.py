@@ -87,6 +87,14 @@ def _remat_policy(name: str):
     recompute FLOPs."""
     if name == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name == "flash":
+        # Save the flash-attention kernel outputs (out + slim lse, named in
+        # ops/flash_attention.py's vjp fwd rules) so the backward replay
+        # DCEs the flash forward kernel — everything else is still
+        # recomputed.  ~6 MB/layer saved activations at S=3072.
+        return jax.checkpoint_policies.save_only_these_names(
+            "flash_out", "flash_lse"
+        )
     if name not in ("full", "", None):
         raise ValueError(f"unknown remat_policy {name!r}")
     return None

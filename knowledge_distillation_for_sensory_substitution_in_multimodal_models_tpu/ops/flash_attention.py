@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import jax.ad_checkpoint
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -337,7 +338,14 @@ def _flash_vjp_fwd(q, k, v, kv_mask, causal, scale):
     # Residual slimming: the kernel emits lse broadcast to 128 lanes (tile
     # constraint); save only one lane — 128x smaller residual when the
     # surrounding layer is NOT rematerialized.
-    return out, (q, k, v, kv_mask, out, lse[..., :1])
+    # checkpoint_name: under remat with the "flash" policy
+    # (models/qwen2.py::_remat_policy) these two residuals are saved from
+    # the original forward, so the backward replay DCEs the flash forward
+    # kernel instead of re-running it (q/k/v are recomputed from the cheap
+    # projections).  A no-op outside remat.
+    out = jax.ad_checkpoint.checkpoint_name(out, "flash_out")
+    lse_slim = jax.ad_checkpoint.checkpoint_name(lse[..., :1], "flash_lse")
+    return out, (q, k, v, kv_mask, out, lse_slim)
 
 
 def _flash_vjp_bwd(causal, scale, residuals, g):
@@ -913,7 +921,11 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale):
 
 def _flash_gqa_vjp_fwd(q, k, v, kv_mask, causal, scale):
     out, lse = _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale)
-    return out, (q, k, v, kv_mask, out, lse[..., :1])
+    # see _flash_vjp_fwd: saved under the "flash" remat policy so the
+    # backward replay skips this kernel
+    out = jax.ad_checkpoint.checkpoint_name(out, "flash_out")
+    lse_slim = jax.ad_checkpoint.checkpoint_name(lse[..., :1], "flash_lse")
+    return out, (q, k, v, kv_mask, out, lse_slim)
 
 
 def _flash_gqa_vjp_bwd(causal, scale, res, gout):

@@ -38,3 +38,10 @@ def test_bench_quant_flags_json():
     assert "(int8)" in j["metric"] and j["value"] > 0
     g = _run(["--mode", "generation", "--student_quant", "int8"])
     assert g["unit"] == "tok/s" and g["value"] > 0
+
+
+def test_bench_accum_json():
+    # --accum N scans N micro-batches inside the jit step (the reference's
+    # accumulate_grad_batches); samples/s counts steps*batch*accum.
+    j = _run(["--mode", "kd", "--accum", "2"])
+    assert j["value"] > 0
