@@ -814,9 +814,10 @@ def _dhsws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
                      labce_ref, lses_ref, lset_ref, sc_row_ref, tval_ref,
                      vmask_ref, lses1_ref, vmce_ref,
                      g_ref, gce_ref, tsum_ref,
-                     dws_ref, dhs_ref, acc_w, acc_h,
+                     dws_ref, dhs_ref, acc_w, acc_h=None,
                      *, v_real: int, inv_t: float, n_n: int, n_v: int,
-                     eps: float, vd: bool, tmat: bool = False):
+                     eps: float, vd: bool, tmat: bool = False,
+                     partials: bool = False):
     """Fused backward: one sweep computes the combined d_logits block and
     contracts it BOTH ways (d_head and d_hidden), instead of recomputing
     the student/teacher logits in two separate kernels.
@@ -829,12 +830,19 @@ def _dhsws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
     [i·BN, (i+1)·BN) and the final vocab round writes the finished row
     blocks out.  (The dhs output block IS flushed on earlier vocab rounds
     too — unwritten, carrying garbage — but the final round's flush lands
-    last in grid order and overwrites it.)"""
+    last in grid order and overwrites it.)
+
+    ``partials=True`` variant: each (j, i) program instead writes its
+    d_hidden contribution to its own [1, BN, d] f32 output block (no
+    persistent scratch, no block revisits); the caller sums the n_v
+    partials in XLA.  Trades n_v·N·d·4 bytes of HBM round-trip for not
+    holding the accumulator in VMEM across the whole grid."""
     j, i = pl.program_id(0), pl.program_id(1)
 
-    @pl.when((j == 0) & (i == 0))
-    def _():
-        acc_h[:] = jnp.zeros_like(acc_h)
+    if not partials:
+        @pl.when((j == 0) & (i == 0))
+        def _():
+            acc_h[:] = jnp.zeros_like(acc_h)
 
     @pl.when(i == 0)
     def _():
@@ -854,13 +862,17 @@ def _dhsws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
     w = _masked_ws(ws_ref, j, v_real, vd)
     dsw = ds.astype(w.dtype)
     # d_hidden contribution of this vocab block for this row block
-    acc_h[pl.ds(i * bn, bn), :] = acc_h[pl.ds(i * bn, bn), :] + (
-        jax.lax.dot_general(
-            dsw, w,
-            (((1,), (0,)), ((), ())) if vd else (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    dh_contrib = jax.lax.dot_general(
+        dsw, w,
+        (((1,), (0,)), ((), ())) if vd else (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    if partials:
+        dhs_ref[0] = dh_contrib.astype(dhs_ref.dtype)
+    else:
+        acc_h[pl.ds(i * bn, bn), :] = (
+            acc_h[pl.ds(i * bn, bn), :] + dh_contrib
+        )
     # d_head contribution of this row block
     if vd:
         acc_w[:] = acc_w[:] + jax.lax.dot_general(
@@ -877,9 +889,10 @@ def _dhsws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
     def _():
         dws_ref[:] = acc_w[:].astype(dws_ref.dtype)
 
-    @pl.when(j == n_v - 1)
-    def _():
-        dhs_ref[:] = acc_h[pl.ds(i * bn, bn), :].astype(dhs_ref.dtype)
+    if not partials:
+        @pl.when(j == n_v - 1)
+        def _():
+            dhs_ref[:] = acc_h[pl.ds(i * bn, bn), :].astype(dhs_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
@@ -986,20 +999,34 @@ def _loca_ce_rows_bwd(v_real, inv_t, alpha, eps, vd, tmat, res, g):
     ordered_rows = [labce2] + rows + [lse_s1, vmce]
     extra = (g_kl[:, None].astype(jnp.float32),
              g_ce[:, None].astype(jnp.float32), tsum)
-    if _os.environ.get("KDSS_LOCA_FUSED_BWD", "0") == "1":
-        hspec_i, _, _ = _specs(d, q_major=False)
+    fused_bwd = _os.environ.get("KDSS_LOCA_FUSED_BWD", "0")
+    if fused_bwd in ("1", "2"):
+        part = fused_bwd == "2"
+        if part:
+            # v2: per-(j,i) d_hidden partials to HBM, summed in XLA
+            dhs_spec = pl.BlockSpec((1, BN, d), lambda j, i: (j, i, 0),
+                                    memory_space=pltpu.VMEM)
+            dhs_shape = jax.ShapeDtypeStruct((n_v, n, d), jnp.float32)
+            scratch = [pltpu.VMEM((BV, d) if vd else (d, BV), jnp.float32)]
+        else:
+            # v1: persistent full-rows VMEM accumulator
+            dhs_spec, _, _ = _specs(d, q_major=False)
+            dhs_shape = jax.ShapeDtypeStruct((n, d), hs.dtype)
+            scratch = [pltpu.VMEM((BV, d) if vd else (d, BV), jnp.float32),
+                       pltpu.VMEM((n, d), jnp.float32)]
         dws, dhs = _call_rows(
             functools.partial(_dhsws_ce_kernel, v_real=v_real, inv_t=inv_t,
-                              n_n=n_n, n_v=n_v, eps=eps, vd=vd, tmat=tmat),
+                              n_n=n_n, n_v=n_v, eps=eps, vd=vd, tmat=tmat,
+                              partials=part),
             hs, ws, t_in, wt_in, lab2, ordered_rows, n, d, dt, n_n, n_v,
-            [_ws_block_spec(d, vd, q_major=False), hspec_i],
-            [jax.ShapeDtypeStruct(ws.shape, ws.dtype),
-             jax.ShapeDtypeStruct((n, d), hs.dtype)],
-            [pltpu.VMEM((BV, d) if vd else (d, BV), jnp.float32),
-             pltpu.VMEM((n, d), jnp.float32)],
+            [_ws_block_spec(d, vd, q_major=False), dhs_spec],
+            [jax.ShapeDtypeStruct(ws.shape, ws.dtype), dhs_shape],
+            scratch,
             extra=extra, q_major=False,
             ws_spec=_ws_block_spec(d, vd, q_major=False), tmat=tmat,
         )
+        if part:
+            dhs = dhs.sum(0).astype(hs.dtype)
         return (dhs, dws, jnp.zeros_like(ht), jnp.zeros_like(wt),
                 None, None)
     dhs = _call_rows(

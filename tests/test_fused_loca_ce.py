@@ -152,13 +152,16 @@ def test_fused_loca_ce_materialized_teacher_matches_recompute(vd_layout):
     np.testing.assert_allclose(np.asarray(gw_m), np.asarray(gw_r),
                                rtol=1e-4, atol=1e-6)
 
-@pytest.mark.parametrize("vd_layout,tmode", [
-    ("dv", "recompute"), ("vd", "recompute"), ("vd", "materialize"),
+@pytest.mark.parametrize("vd_layout,tmode,bwd_mode", [
+    ("dv", "recompute", "1"), ("vd", "recompute", "1"),
+    ("vd", "materialize", "1"),
+    ("dv", "recompute", "2"), ("vd", "materialize", "2"),
 ])
 def test_fused_loca_ce_fused_bwd_matches_separate(monkeypatch, vd_layout,
-                                                  tmode):
-    """KDSS_LOCA_FUSED_BWD=1 (one dhs+dws sweep) must reproduce the
-    two-kernel backward exactly."""
+                                                  tmode, bwd_mode):
+    """KDSS_LOCA_FUSED_BWD=1 (one dhs+dws sweep, persistent-VMEM d_hidden
+    accumulator) and =2 (d_hidden partials to HBM, summed in XLA) must
+    reproduce the two-kernel backward exactly."""
     n, ds, dt, v, vt, temp, alpha = 64, 128, 256, 300, 340, 0.8, 0.8
     rng = np.random.default_rng(11)
     hs = jnp.asarray(rng.normal(size=(n, ds)).astype(np.float32))
@@ -183,7 +186,7 @@ def test_fused_loca_ce_fused_bwd_matches_separate(monkeypatch, vd_layout,
     monkeypatch.setenv("KDSS_LOCA_FUSED_BWD", "0")
     with pltpu.force_tpu_interpret_mode():
         gh_r, gw_r = jax.grad(f, argnums=(0, 1))(hs, ws)
-    monkeypatch.setenv("KDSS_LOCA_FUSED_BWD", "1")
+    monkeypatch.setenv("KDSS_LOCA_FUSED_BWD", bwd_mode)
     with pltpu.force_tpu_interpret_mode():
         gh_f, gw_f = jax.grad(f, argnums=(0, 1))(hs, ws)
 
