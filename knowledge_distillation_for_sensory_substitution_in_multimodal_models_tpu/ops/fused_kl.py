@@ -24,11 +24,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_ce import (BN, BV, NEG, _cdiv, _col_ids, _logits,
                        _masked_w_any, _pad_to, _w_spec)
+from .fused_loca import (_TMAT_DUMMY_SHAPE, _materialize_t, _t_block,
+                         _tmat_specs)
 
 
 def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
                    g_ref, dhs_ref, acc,
-                   *, v_real: int, inv_t: float, n_v: int, vd: bool):
+                   *, v_real: int, inv_t: float, n_v: int, vd: bool,
+                   tmat: bool = False):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -36,10 +39,7 @@ def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
         acc[:] = jnp.zeros_like(acc)
 
     s = _logits(hs_ref[:], ws_ref[:], vd) * inv_t
-    t = jax.lax.dot_general(
-        ht_ref[:], wt_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_t
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
     ps = jnp.where(in_vocab, jnp.exp(s - lses_ref[:, 0:1]), 0.0)
@@ -58,7 +58,8 @@ def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
 
 def _kl_dws_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
                    g_ref, dws_ref, acc,
-                   *, v_real: int, inv_t: float, n_n: int, vd: bool):
+                   *, v_real: int, inv_t: float, n_n: int, vd: bool,
+                   tmat: bool = False):
     j, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
@@ -66,10 +67,7 @@ def _kl_dws_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
         acc[:] = jnp.zeros_like(acc)
 
     s = _logits(hs_ref[:], ws_ref[:], vd) * inv_t
-    t = jax.lax.dot_general(
-        ht_ref[:], wt_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_t
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
     ps = jnp.where(in_vocab, jnp.exp(s - lses_ref[:, 0:1]), 0.0)
@@ -105,15 +103,16 @@ def _row_specs(d, q_major=True):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _kl_rows(hs, ws, ht, wt, v_real, inv_t, vd=False):
-    return _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _kl_rows(hs, ws, ht, wt, v_real, inv_t, vd=False, tmat=False):
+    return _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd, tmat)[0]
 
 
 def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref,
                     kl_ref, ls_ref, lt_ref,
                     sc_ms, sc_zs, sc_mt, sc_zt, sc_u, sc_w,
-                    *, v_real: int, inv_t: float, n_v: int, vd: bool):
+                    *, v_real: int, inv_t: float, n_v: int, vd: bool,
+                    tmat: bool = False):
     """ONE sweep for the whole KL forward (replaces 2 lse passes + a KL
     pass).  Uses the decomposition
 
@@ -135,10 +134,7 @@ def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref,
         sc_w[:] = jnp.zeros_like(sc_w)
 
     s = _logits(hs_ref[:], ws_ref[:], vd) * inv_t
-    t = jax.lax.dot_general(
-        ht_ref[:], wt_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * inv_t
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
     s = jnp.where(in_vocab, s, NEG)
@@ -186,15 +182,21 @@ def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref,
         kl_ref[:] = (sc_u[:, 0:1] - sc_w[:, 0:1]) / zt - lt + ls
 
 
-def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd):
+def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd, tmat=False):
     n, d = hs.shape
     v_width = ws.shape[0] if vd else ws.shape[1]
     n_n, n_v = n // BN, _cdiv(v_width, BV)
     hspec, _, rspec = _row_specs(d)
-    hspec_t, cspec_t, _ = _row_specs(ht.shape[1])
+    if tmat:
+        t_in = _materialize_t(ht, wt, inv_t)
+        wt_in = jnp.zeros(_TMAT_DUMMY_SHAPE, jnp.float32)
+        hspec_t, cspec_t = _tmat_specs()
+    else:
+        t_in, wt_in = ht, wt
+        hspec_t, cspec_t, _ = _row_specs(ht.shape[1])
     kl, ls, lt = pl.pallas_call(
         functools.partial(_kl_fwd1_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, vd=vd),
+                          n_v=n_v, vd=vd, tmat=tmat),
         grid=(n_n, n_v),
         in_specs=[hspec, _w_spec(d, vd), hspec_t, cspec_t],
         out_specs=[rspec] * 3,
@@ -203,27 +205,34 @@ def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(hs, ws, ht, wt)
-    return kl[:, 0], (ls[:, 0], lt[:, 0])
+    )(hs, ws, t_in, wt_in)
+    return kl[:, 0], (ls[:, 0], lt[:, 0], t_in, wt_in)
 
 
-def _kl_rows_fwd(hs, ws, ht, wt, v_real, inv_t, vd):
-    kl, (lse_s, lse_t) = _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd)
-    return kl, (hs, ws, ht, wt, lse_s, lse_t)
+def _kl_rows_fwd(hs, ws, ht, wt, v_real, inv_t, vd, tmat):
+    kl, (lse_s, lse_t, t_in, wt_in) = _kl_rows_impl(
+        hs, ws, ht, wt, v_real, inv_t, vd, tmat
+    )
+    # t_in is the materialized [N, V] teacher logits when tmat — reused by
+    # both backward sweeps instead of recomputing the teacher dot
+    return kl, (hs, ws, ht, wt, t_in, wt_in, lse_s, lse_t)
 
 
-def _kl_rows_bwd(v_real, inv_t, vd, res, g):
-    hs, ws, ht, wt, lse_s, lse_t = res
+def _kl_rows_bwd(v_real, inv_t, vd, tmat, res, g):
+    hs, ws, ht, wt, t_in, wt_in, lse_s, lse_t = res
     n, d = hs.shape
     v_width = ws.shape[0] if vd else ws.shape[1]
     n_n, n_v = n // BN, _cdiv(v_width, BV)
     g2 = g[:, None].astype(jnp.float32)
     hspec, cspec, rspec = _row_specs(d)
-    hspec_t, cspec_t, _ = _row_specs(ht.shape[1])
+    if tmat:
+        hspec_t, cspec_t = _tmat_specs()
+    else:
+        hspec_t, cspec_t, _ = _row_specs(ht.shape[1])
 
     dhs = pl.pallas_call(
         functools.partial(_kl_dhs_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, vd=vd),
+                          n_v=n_v, vd=vd, tmat=tmat),
         grid=(n_n, n_v),
         in_specs=[hspec, _w_spec(d, vd), hspec_t, cspec_t,
                   rspec, rspec, rspec],
@@ -233,13 +242,16 @@ def _kl_rows_bwd(v_real, inv_t, vd, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(hs, ws, ht, wt, lse_s[:, None], lse_t[:, None], g2)
+    )(hs, ws, t_in, wt_in, lse_s[:, None], lse_t[:, None], g2)
 
     hspec2, cspec2, rspec2 = _row_specs(d, q_major=False)
-    hspec2_t, cspec2_t, _ = _row_specs(ht.shape[1], q_major=False)
+    if tmat:
+        hspec2_t, cspec2_t = _tmat_specs(q_major=False)
+    else:
+        hspec2_t, cspec2_t, _ = _row_specs(ht.shape[1], q_major=False)
     dws = pl.pallas_call(
         functools.partial(_kl_dws_kernel, v_real=v_real, inv_t=inv_t,
-                          n_n=n_n, vd=vd),
+                          n_n=n_n, vd=vd, tmat=tmat),
         grid=(n_v, n_n),
         in_specs=[hspec2, _w_spec(d, vd, q_major=False), hspec2_t, cspec2_t,
                   rspec2, rspec2, rspec2],
@@ -249,7 +261,7 @@ def _kl_rows_bwd(v_real, inv_t, vd, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(hs, ws, ht, wt, lse_s[:, None], lse_t[:, None], g2)
+    )(hs, ws, t_in, wt_in, lse_s[:, None], lse_t[:, None], g2)
 
     # teacher side is stop-grad in KD; return zeros to satisfy the vjp
     dht = jnp.zeros_like(ht)
@@ -267,6 +279,7 @@ def fused_kl_sum(
     teacher_head: jnp.ndarray,
     temperature: float = 1.0,
     student_head_layout: str = "dv",
+    teacher_logits: str = "recompute",
 ) -> jnp.ndarray:
     """Sum over rows of sum_v p_T (log p_T - log p_S) — pre-reduction KL.
 
@@ -299,7 +312,8 @@ def fused_kl_sum(
         ht = _pad_to(ht, 128, 1)
         wt = _pad_to(wt, 128, 0)
 
-    kl_rows = _kl_rows(hs, ws, ht, wt, v_real, inv_t, vd)
+    kl_rows = _kl_rows(hs, ws, ht, wt, v_real, inv_t, vd,
+                       teacher_logits == "materialize")
     return kl_rows[:n].sum()
 
 
@@ -310,6 +324,7 @@ def fused_kl_loss(
     teacher_head: jnp.ndarray,
     temperature: float = 1.0,
     student_head_layout: str = "dv",
+    teacher_logits: str = "recompute",
 ) -> jnp.ndarray:
     """mean_el[ p_T (log p_T - log p_S) ] * T^2 over [N, V] (torch 'mean').
 
@@ -323,5 +338,6 @@ def fused_kl_loss(
     total = fused_kl_sum(
         student_hidden, student_head, teacher_hidden, teacher_head,
         temperature=temperature, student_head_layout=student_head_layout,
+        teacher_logits=teacher_logits,
     )
     return total / (n * v_real) * (temperature ** 2)

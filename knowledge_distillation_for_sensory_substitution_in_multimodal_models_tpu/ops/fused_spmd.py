@@ -261,9 +261,15 @@ def fused_kl_loss_spmd(
     v_real = student_head.shape[0] if vd else student_head.shape[1]
     _check_teacher_vocab(teacher_head, v_real)
     if mesh is None:
+        # materialized teacher logits on the single-device path (see
+        # fused_loca_ce_loss_spmd below for rationale + measurement)
+        tmode = ("materialize"
+                 if os.environ.get("KDSS_LOCA_TMAT", "1") == "1"
+                 else "recompute")
         return fused_kl_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
             temperature=temperature, student_head_layout=student_head_layout,
+            teacher_logits=tmode,
         )
     axes = _row_axes(mesh, n)
 

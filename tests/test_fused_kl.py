@@ -103,3 +103,34 @@ def test_smaller_teacher_vocab_fails_loudly():
         fused_loca_sum(hs, ws, ht, wt, lab)
     with pytest.raises(ValueError, match="teacher head vocab"):
         fused_loca_ce_sums(hs, ws, ht, wt, lab, lab)
+
+
+@pytest.mark.parametrize("vd_layout", ["dv", "vd"])
+def test_fused_kl_materialized_teacher_matches_recompute(vd_layout):
+    """teacher_logits="materialize" must reproduce the recompute form
+    (same dot + scale, f32-accumulation-order differences only)."""
+    import numpy as np
+    n, ds, dt, v, vt, temp = 64, 128, 256, 300, 340, 0.8
+    rng = np.random.default_rng(5)
+    hs = jnp.asarray(rng.normal(size=(n, ds)).astype(np.float32))
+    ht = jnp.asarray(rng.normal(size=(n, dt)).astype(np.float32))
+    ws0 = rng.normal(size=(ds, v)).astype(np.float32) * 0.05
+    ws = jnp.asarray(ws0.T if vd_layout == "vd" else ws0)
+    wt = jnp.asarray(rng.normal(size=(dt, vt)).astype(np.float32) * 0.05)
+
+    def run(mode):
+        def f(hs_, ws_):
+            return fused_kl_loss(hs_, ws_, ht, wt, temperature=temp,
+                                 student_head_layout=vd_layout,
+                                 teacher_logits=mode)
+        with pltpu.force_tpu_interpret_mode():
+            val, (gh, gw) = jax.value_and_grad(f, argnums=(0, 1))(hs, ws)
+        return val, gh, gw
+
+    v_r, gh_r, gw_r = run("recompute")
+    v_m, gh_m, gw_m = run("materialize")
+    np.testing.assert_allclose(float(v_m), float(v_r), rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gh_m), np.asarray(gh_r),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gw_m), np.asarray(gw_r),
+                               rtol=1e-4, atol=1e-7)
