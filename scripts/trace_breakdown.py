@@ -2,7 +2,7 @@
 
 Usage: python scripts/trace_breakdown.py /tmp/prof_dir [--top 25]
 
-Reads plugins/profile/*/\*.trace.json.gz, sums device-event durations
+Reads plugins/profile/*/*.trace.json.gz, sums device-event durations
 (the TPU device rows), groups ops by fusion/custom-call name, and prints
 a table.  Used for the PERF_NOTES breakdowns.
 """

@@ -45,3 +45,12 @@ def test_bench_accum_json():
     # accumulate_grad_batches); samples/s counts steps*batch*accum.
     j = _run(["--mode", "kd", "--accum", "2"])
     assert j["value"] > 0
+
+
+def test_bench_remat_policy_json():
+    # "dots"/"flash" remat granularities must produce a valid run (flash
+    # names only bind when the pallas kernels are active — on CPU this
+    # degenerates to full remat, which is the point of the contract: the
+    # flag is accepted and the program still trains).
+    j = _run(["--mode", "kd", "--remat_policy", "dots"])
+    assert j["value"] > 0
