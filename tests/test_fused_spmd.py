@@ -271,3 +271,36 @@ def test_sharded_kd_fused_step_matches_chunked_single_device():
     a = np.asarray(ref_state.params["language_model"]["norm"]["weight"])
     b = np.asarray(new_state.params["language_model"]["norm"]["weight"])
     np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
+def test_no_mesh_dispatch_uses_materialized_teacher(monkeypatch):
+    """Without an active mesh the spmd wrappers must dispatch to the
+    single-device fused ops with teacher_logits="materialize" by default
+    (KDSS_LOCA_TMAT), and honor KDSS_LOCA_TMAT=0."""
+    import knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_spmd as fs
+
+    seen = {}
+
+    def fake_loca_ce(*a, **k):
+        seen["loca_ce"] = k.get("teacher_logits")
+        return jnp.zeros(()), jnp.zeros(())
+
+    def fake_kl(*a, **k):
+        seen["kl"] = k.get("teacher_logits")
+        return jnp.zeros(())
+
+    monkeypatch.setattr(fs, "fused_loca_ce_loss", fake_loca_ce)
+    monkeypatch.setattr(fs, "fused_kl_loss", fake_kl)
+    hs = jnp.zeros((8, 16)); ht = jnp.zeros((8, 16))
+    ws = jnp.zeros((16, 32)); wt = jnp.zeros((16, 32))
+    lab = jnp.zeros((8,), jnp.int32)
+
+    monkeypatch.delenv("KDSS_LOCA_TMAT", raising=False)
+    fs.fused_loca_ce_loss_spmd(hs, ws, ht, wt, lab, lab)
+    fs.fused_kl_loss_spmd(hs, ws, ht, wt)
+    assert seen == {"loca_ce": "materialize", "kl": "materialize"}
+
+    monkeypatch.setenv("KDSS_LOCA_TMAT", "0")
+    fs.fused_loca_ce_loss_spmd(hs, ws, ht, wt, lab, lab)
+    fs.fused_kl_loss_spmd(hs, ws, ht, wt)
+    assert seen == {"loca_ce": "recompute", "kl": "recompute"}
