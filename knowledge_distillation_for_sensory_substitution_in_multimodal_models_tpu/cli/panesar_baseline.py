@@ -162,6 +162,41 @@ def main(argv=None):
 
     # ---- train (Adadelta + early stopping; optional Optuna lr search,
     # reference `panesar_model_baseline_train.py:203-341`) ----
+    # The learning rate rides INSIDE the optimizer state
+    # (optax.inject_hyperparams), so every Optuna trial reuses ONE
+    # compiled train step instead of re-jitting the VGG16 fwd+bwd per lr
+    # (a multi-minute compile per trial on CPU).  Ragged tail batches are
+    # padded to --batch_size with zeroed validity for the same reason.
+    tx = optax.inject_hyperparams(optax.adadelta)(learning_rate=args.lr)
+
+    @jax.jit
+    def step(params, opt_state, rgb, depth, qids, ys, valid):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, rgb, depth, qids,
+                                 deterministic=False,
+                                 rngs={"dropout": jax.random.PRNGKey(0)})
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, ys)
+            return (ce * valid).sum() / jnp.maximum(valid.sum(), 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    @jax.jit
+    def val_loss_fn(params, rgb, depth, qids, ys, valid):
+        logits = model.apply({"params": params}, rgb, depth, qids)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, ys)
+        return (ce * valid).sum(), valid.sum()
+
+    def padded_batches(n, order=None):
+        for start in range(0, n, args.batch_size):
+            idxs = list(
+                (order[start:start + args.batch_size]) if order is not None
+                else range(start, min(start + args.batch_size, n))
+            )
+            pad = args.batch_size - len(idxs)
+            yield list(idxs) + [idxs[-1]] * pad, pad
+
     def run_training(lr, epochs, seed=0, save_to=None, trial=None):
         """One Adadelta training run; returns the best val loss.
 
@@ -173,46 +208,36 @@ def main(argv=None):
             jax.random.PRNGKey(seed), jnp.asarray(rgb0), jnp.asarray(depth0),
             jnp.asarray(q0),
         )["params"]
-        tx = optax.adadelta(lr)
         opt_state = tx.init(params)
-
-        @jax.jit
-        def step(params, opt_state, rgb, depth, qids, ys, valid):
-            def loss_fn(p):
-                logits = model.apply({"params": p}, rgb, depth, qids,
-                                     deterministic=False,
-                                     rngs={"dropout": jax.random.PRNGKey(0)})
-                ce = optax.softmax_cross_entropy_with_integer_labels(logits, ys)
-                return (ce * valid).sum() / jnp.maximum(valid.sum(), 1)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state2 = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state2, loss
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, jnp.float32)
 
         best_val, patience = float("inf"), 0
         loss = jnp.zeros(())
         for epoch in range(epochs):
             order = np.random.default_rng(epoch).permutation(n_train)
-            for start in range(0, n_train, args.batch_size):
-                idxs = order[start : start + args.batch_size]
+            for idxs, pad in padded_batches(n_train, order):
                 rgb, depth, qids, ys, valid = encode_batch(
                     train_ds, idxs, qwords, answers)
+                if pad:
+                    valid = valid.copy()
+                    valid[len(valid) - pad:] = 0
                 params, opt_state, loss = step(
                     params, opt_state, jnp.asarray(rgb), jnp.asarray(depth),
                     jnp.asarray(qids), jnp.asarray(ys), jnp.asarray(valid),
                 )
-            val_losses = []
-            for start in range(0, n_val, args.batch_size):
-                idxs = list(range(start, min(start + args.batch_size, n_val)))
+            num = den = 0.0
+            for idxs, pad in padded_batches(n_val):
                 rgb, depth, qids, ys, valid = encode_batch(
                     val_ds, idxs, qwords, answers)
-                logits = model.apply({"params": params}, jnp.asarray(rgb),
-                                     jnp.asarray(depth), jnp.asarray(qids))
-                ce = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, jnp.asarray(ys))
-                val_losses.append(
-                    float((ce * valid).sum() / max(valid.sum(), 1)))
-            val_loss = float(np.mean(val_losses))
+                if pad:
+                    valid = valid.copy()
+                    valid[len(valid) - pad:] = 0
+                s, c = val_loss_fn(
+                    params, jnp.asarray(rgb), jnp.asarray(depth),
+                    jnp.asarray(qids), jnp.asarray(ys), jnp.asarray(valid))
+                num += float(s); den += float(c)
+            val_loss = num / max(den, 1.0)
             print(f"epoch {epoch} train_loss {float(loss):.4f} "
                   f"val_loss {val_loss:.4f}")
             if trial is not None:
