@@ -215,15 +215,17 @@ def bench_train(args, mode: str) -> dict:
     sparams = _materialize(_shapes(student, micro, 0, "student"), 0, dtype)
 
     if mode == "kd":
+        from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
+            quant_impl,
+        )
+
         tq = args.teacher_quant
         teacher = LlavaOnevision(
             tcfg, dtype=dtype, remat=remat, remat_vision=remat_vision,
             attn_impl=attn_impl,
-            # under a mesh the teacher TP shards these dots via GSPMD, which
-            # cannot partition the fused Pallas int8 kernel -> pin the XLA form
-            lm_quant=("int8_xla" if mesh is not None else "int8")
+            lm_quant=quant_impl(gspmd=mesh is not None)
             if tq in ("int8", "int8_full") else "none",
-            vision_quant=("int8_xla" if mesh is not None else "int8")
+            vision_quant=quant_impl(gspmd=mesh is not None)
             if tq == "int8_full" else "none",
         )
         tparams = _materialize(_shapes(
@@ -259,7 +261,10 @@ def bench_train(args, mode: str) -> dict:
             shard_params,
         )
 
-        jax.set_mesh(mesh)  # global setter: step tracing sees the mesh
+        # Setter form so step tracing below sees the mesh; the returned
+        # handle restores the previous (empty) mesh before this bench
+        # returns, so later modes in --mode all run mesh-free.
+        mesh_ctx = jax.set_mesh(mesh)
         sparams = shard_params(sparams, mesh)
         if tparams is not None:
             tparams = shard_params(tparams, mesh)
@@ -276,6 +281,9 @@ def bench_train(args, mode: str) -> dict:
         for kv in args.xla_opt:
             k, v = kv.split("=", 1)
             copts[k] = v
+    elif args.xla_opt:
+        print("WARNING: --xla_opt ignored under --cpu (TPU-only compiler "
+              "options)", file=sys.stderr)
     step = jax.jit(
         make_train_step(models, cfg), donate_argnums=(0,),
         compiler_options=copts,
@@ -346,6 +354,8 @@ def bench_train(args, mode: str) -> dict:
         f"samples/s, loss={losses[-1]:.4f}",
         file=sys.stderr,
     )
+    if mesh is not None:
+        mesh_ctx.__exit__(None, None, None)
     return {
         "samples_per_sec": round(samples_per_sec, 4),
         "seq_len": seq_len,

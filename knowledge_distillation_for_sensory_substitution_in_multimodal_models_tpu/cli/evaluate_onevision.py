@@ -104,7 +104,7 @@ def main(argv=None):
     if args.quant != "none":
         # Quantize AFTER restore (checkpoints stay bf16/f32) and swap in
         # the int8-consuming model for generation.
-        from ..ops.int8 import quantize_lm_params_int8
+        from ..ops.int8 import quant_impl, quantize_lm_params_int8
 
         import functools as _ft
 
@@ -112,9 +112,7 @@ def main(argv=None):
             quantize_lm_params_int8,
             include_vision=args.quant == "int8_full",
         ))(params)
-        # pallas_spmd => sharded mesh program; GSPMD cannot partition the
-        # fused Pallas int8 kernel, so pin the XLA w8a8 form there
-        q8 = "int8_xla" if attn_impl == "pallas_spmd" else "int8"
+        q8 = quant_impl(gspmd=attn_impl == "pallas_spmd")
         student = LlavaOnevision(
             scfg, dtype=dtype, attn_impl=attn_impl, lm_quant=q8,
             vision_quant=q8 if args.quant == "int8_full" else "none",

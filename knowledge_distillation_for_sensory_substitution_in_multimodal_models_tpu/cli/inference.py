@@ -68,7 +68,7 @@ def main(argv=None):
         params = mgr.restore(args.student_ckpt_path, abstract, partial=True)["params"]
 
     if args.quant != "none":
-        from ..ops.int8 import quantize_lm_params_int8
+        from ..ops.int8 import quant_impl, quantize_lm_params_int8
 
         import functools as _ft
 
@@ -77,7 +77,7 @@ def main(argv=None):
             include_vision=args.quant == "int8_full",
         ))(params)
         attn_impl = common.resolve_attn_impl(args)
-        q8 = "int8_xla" if attn_impl == "pallas_spmd" else "int8"
+        q8 = quant_impl(gspmd=attn_impl == "pallas_spmd")
         student = LlavaOnevision(
             scfg, dtype=dtype, attn_impl=attn_impl,
             lm_quant=q8,

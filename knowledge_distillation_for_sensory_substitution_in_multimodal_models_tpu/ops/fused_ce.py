@@ -186,6 +186,19 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def check_teacher_vocab(teacher_head, v_real: int, vd: bool = False):
+    """The KD kernels mask teacher columns >= v_real (prefix truncation,
+    reference `logit_based/...:222`) — that only clamps correctly when the
+    teacher vocab is at least the student's.  Fail loudly otherwise.
+    ``vd``: the teacher head is in [V, D] layout (vocab on axis 0)."""
+    vt = teacher_head.shape[0] if vd else teacher_head.shape[1]
+    if vt < v_real:
+        raise ValueError(
+            f"teacher head vocab {vt} < student vocab {v_real}: prefix "
+            "truncation assumes teacher_vocab >= student_vocab"
+        )
+
+
 # Row/vocab block sizes.  Profiled r2: at (256, 512) the dh/dw backward
 # grids hit ~5.6k programs each (~2.7us dispatch floor per program on the
 # sequential TPU grid) — over half their runtime.  bench.py raises these

@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_ce import (BN, BV, NEG, _cdiv, _col_ids, _logits,
-                       _masked_w_any, _pad_to, _w_spec)
+                       _masked_w_any, _pad_to, _w_spec, check_teacher_vocab)
 from .fused_loca import (_TMAT_DUMMY_SHAPE, _materialize_t, _t_block,
                          _tmat_specs)
 
@@ -291,12 +291,7 @@ def fused_kl_sum(
     vd = student_head_layout == "vd"
     n, _ = student_hidden.shape
     v_real = student_head.shape[0] if vd else student_head.shape[1]
-    if teacher_head.shape[1] < v_real:
-        raise ValueError(
-            f"teacher head vocab {teacher_head.shape[1]} < student vocab "
-            f"{v_real}: cols<v_real masking assumes teacher_vocab >= "
-            "student_vocab (prefix truncation)"
-        )
+    check_teacher_vocab(teacher_head, v_real)
     inv_t = 1.0 / temperature
 
     hs = _pad_to(student_hidden, BN, 0)

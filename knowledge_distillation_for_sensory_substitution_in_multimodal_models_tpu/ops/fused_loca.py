@@ -42,7 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_ce import BN, BV, NEG, _cdiv, _col_ids, _masked_w, _pad_to
+from .fused_ce import (BN, BV, NEG, _cdiv, _col_ids, _masked_w, _pad_to,
+                       check_teacher_vocab)
 
 
 def _logits_block(h_ref, w_ref, inv_t):
@@ -408,7 +409,7 @@ _TMAT_DUMMY_SHAPE = (8, 128)
 
 def _call_rows(kernel, hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
                out_spec, out_shape, scratch, extra=(), q_major=True,
-               ws_spec=None, tmat=False):
+               ws_spec=None, tmat=False, sem=None):
     hspec, cspec, rspec = _specs(d, q_major)
     if tmat:
         hspec_t, cspec_t = _tmat_specs(q_major)
@@ -427,7 +428,7 @@ def _call_rows(kernel, hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
         out_specs=out_spec,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(**_SEM),
+        compiler_params=pltpu.CompilerParams(**(sem or _SEM)),
     )(hs, ws, ht, wt, lab2, *rows, *extra)
 
 
@@ -516,12 +517,7 @@ def fused_loca_sum(
     """
     n = student_hidden.shape[0]
     v_real = student_head.shape[1]
-    if teacher_head.shape[1] < v_real:
-        raise ValueError(
-            f"teacher head vocab {teacher_head.shape[1]} < student vocab "
-            f"{v_real}: cols<v_real masking assumes teacher_vocab >= "
-            "student_vocab (prefix truncation)"
-        )
+    check_teacher_vocab(teacher_head, v_real)
     inv_t = 1.0 / temperature
 
     hs = _pad_to(student_hidden, BN, 0)
@@ -830,7 +826,11 @@ def _dhsws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
     [i·BN, (i+1)·BN) and the final vocab round writes the finished row
     blocks out.  (The dhs output block IS flushed on earlier vocab rounds
     too — unwritten, carrying garbage — but the final round's flush lands
-    last in grid order and overwrites it.)
+    last in grid order and overwrites it.)  Because the zero-init/
+    accumulate/flush protocol spans BOTH grid dims, the caller must
+    declare ("arbitrary", "arbitrary") dimension semantics — a "parallel"
+    vocab dim would let Megacore split it across cores (one core never
+    zero-inits, the other never flushes) and Mosaic reorder it.
 
     ``partials=True`` variant: each (j, i) program instead writes its
     d_hidden contribution to its own [1, BN, d] f32 output block (no
@@ -1024,6 +1024,14 @@ def _loca_ce_rows_bwd(v_real, inv_t, alpha, eps, vd, tmat, res, g):
             scratch,
             extra=extra, q_major=False,
             ws_spec=_ws_block_spec(d, vd, q_major=False), tmat=tmat,
+            # v1's persistent acc_h zero-init/accumulate/flush protocol
+            # spans the vocab grid dim too, so neither dim may be declared
+            # "parallel" (Megacore would split it across cores and Mosaic
+            # may reorder it).  v2 (partials) writes per-(j,i) blocks and
+            # keeps the default semantics.
+            sem=None if part else dict(
+                dimension_semantics=("arbitrary", "arbitrary")
+            ),
         )
         if part:
             dhs = dhs.sum(0).astype(hs.dtype)
@@ -1089,12 +1097,7 @@ def fused_loca_ce_sums(
     vd = student_head_layout == "vd"
     n = student_hidden.shape[0]
     v_real = student_head.shape[0] if vd else student_head.shape[1]
-    if teacher_head.shape[1] < v_real:
-        raise ValueError(
-            f"teacher head vocab {teacher_head.shape[1]} < student vocab "
-            f"{v_real}: cols<v_real masking assumes teacher_vocab >= "
-            "student_vocab (prefix truncation)"
-        )
+    check_teacher_vocab(teacher_head, v_real)
     inv_t = 1.0 / temperature
 
     hs = _pad_to(student_hidden, BN, 0)

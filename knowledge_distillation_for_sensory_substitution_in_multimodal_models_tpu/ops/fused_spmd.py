@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..losses.kd_losses import IGNORE_INDEX, loca_calibrated_probs
-from .fused_ce import fused_ce_loss, fused_ce_sum
+from .fused_ce import check_teacher_vocab, fused_ce_loss, fused_ce_sum
 from .fused_kl import fused_kl_loss, fused_kl_sum
 from .fused_loca import (
     fused_loca_ce_loss,
@@ -124,18 +124,6 @@ def _rowchunked(fn, row_args: Tuple[jnp.ndarray, ...], n_out: int):
     init = tuple(jnp.zeros((), s.dtype) for s in out_sds)
     outs, _ = jax.lax.scan(body, init, chunked)
     return outs[0] if n_out == 1 else outs
-
-
-def _check_teacher_vocab(teacher_head, v_real: int, vd: bool = False):
-    """The kernels mask teacher columns >= v_real (prefix truncation,
-    reference `logit_based/...:222`) — that only clamps correctly when the
-    teacher vocab is at least the student's.  Fail loudly otherwise."""
-    vt = teacher_head.shape[0] if vd else teacher_head.shape[1]
-    if vt < v_real:
-        raise ValueError(
-            f"teacher head vocab {vt} < student vocab {v_real}: prefix "
-            "truncation assumes teacher_vocab >= student_vocab"
-        )
 
 
 def _head_matmul(h, w, vd: bool):
@@ -259,7 +247,7 @@ def fused_kl_loss_spmd(
     n = student_hidden.shape[0]
     vd = student_head_layout == "vd"
     v_real = student_head.shape[0] if vd else student_head.shape[1]
-    _check_teacher_vocab(teacher_head, v_real)
+    check_teacher_vocab(teacher_head, v_real)
     if mesh is None:
         # materialized teacher logits on the single-device path (see
         # fused_loca_ce_loss_spmd below for rationale + measurement)
@@ -309,7 +297,7 @@ def fused_loca_loss_spmd(
     mesh = _abstract_mesh()
     n = student_hidden.shape[0]
     v_real = student_head.shape[1]
-    _check_teacher_vocab(teacher_head, v_real)
+    check_teacher_vocab(teacher_head, v_real)
     if mesh is None:
         return fused_loca_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
@@ -362,7 +350,7 @@ def fused_loca_ce_loss_spmd(
     n = student_hidden.shape[0]
     vd = student_head_layout == "vd"
     v_real = student_head.shape[0] if vd else student_head.shape[1]
-    _check_teacher_vocab(teacher_head, v_real)
+    check_teacher_vocab(teacher_head, v_real)
     if mesh is None:
         # Single-device form: materialize the [N, V] f32 teacher logits
         # once and stream them through all four sweeps instead of

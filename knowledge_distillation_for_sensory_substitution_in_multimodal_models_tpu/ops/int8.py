@@ -47,6 +47,15 @@ QUANTIZED_VISION_NAMES = frozenset(
 )
 
 
+def quant_impl(gspmd: bool) -> str:
+    """w8a8 matmul implementation for a program: GSPMD-sharded programs
+    (an active mesh / ``attn_impl="pallas_spmd"``) must pin the XLA form —
+    the partitioner cannot shard the fused Pallas int8 custom call — while
+    single-device programs use the fused Pallas kernel.  Single source of
+    the rule for every CLI/bench that builds a quantized model."""
+    return "int8_xla" if gspmd else "int8"
+
+
 def absmax_quantize_weight(
     w: jnp.ndarray, clip: float = 127.0
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
