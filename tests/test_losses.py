@@ -8,6 +8,7 @@ import torch.nn.functional as F
 
 from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.losses import (
     masked_cross_entropy,
+    feature_mse_loss,
     kd_kl_loss,
     loca_loss,
     loca_calibrated_probs,
@@ -140,6 +141,20 @@ def test_ofa_matches_torch(tensors):
     pt = soft_t.max(dim=-1, keepdim=True)[0]
     expected = (-(1 + pt).pow(2.0) * log_s).mean().item()
     assert abs(got - expected) < 1e-5
+
+
+def test_feature_mse_matches_torch():
+    """Eval-side module's mse_loss (`evaluation/onevisionv3/
+    OnlineKnowledgeDistillationLLavaOneVision.py:160-166`): upcast to f32,
+    plain mean of squared differences."""
+    rng = np.random.default_rng(4)
+    fs = rng.normal(size=(B, 1152)).astype(np.float16)
+    ft = rng.normal(size=(B, 1152)).astype(np.float16)
+    got = float(feature_mse_loss(fs.astype(np.float32), ft.astype(np.float32)))
+    expected = torch.mean(
+        (torch.tensor(fs).float() - torch.tensor(ft).float()) ** 2
+    ).item()
+    assert abs(got - expected) < 1e-6
 
 
 def test_vision_phase1_composition(tensors):
