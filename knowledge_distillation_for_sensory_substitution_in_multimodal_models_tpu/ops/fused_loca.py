@@ -1085,8 +1085,9 @@ def fused_loca_ce_sums(
     all four sweeps, instead of recomputing the 2·N·Dt·V teacher dot in
     every sweep.  Costs N·V·4 bytes of HBM held fwd→bwd (~1.9 GB at
     N=3072, V=152k) — the single-chip B=1 configuration affords it; the
-    row-sharded mesh path keeps "recompute" (per-shard N is small and
-    the buffer would multiply per chip).
+    row-sharded mesh path defaults to "recompute" (per-shard N is small
+    and the buffer multiplies per chip) with per-shard materialization
+    opt-in via KDSS_LOCA_TMAT_MESH=1 (ops/fused_spmd.py::_mesh_tmode).
 
     ``loca_labels`` are the UNSHIFTED labels the calibration indexes
     (reference quirk, SURVEY.md §2.5 #3); ``ce_labels`` the shifted

@@ -51,6 +51,19 @@ from .fused_loca import (
 )
 
 
+def _mesh_tmode() -> str:
+    """Teacher-logits form for the per-shard pallas arm.  Default
+    recompute; ``KDSS_LOCA_TMAT_MESH=1`` opts into materializing each
+    shard's [N_shard, V] f32 teacher logits once per step and streaming
+    them through every sweep (the single-chip default, +3.1% measured).
+    Costs ~N_shard x 152k x 4B of HBM per chip — ~0.9 GiB at the 7B dims
+    on the (1,2,4) mesh, inside the AOT headroom (docs/PERF_NOTES.md, r3
+    roofline refresh) — pending multi-chip hardware measurement."""
+    return ("materialize"
+            if os.environ.get("KDSS_LOCA_TMAT_MESH", "0") == "1"
+            else "recompute")
+
+
 def _abstract_mesh():
     try:
         m = jax.sharding.get_abstract_mesh()
@@ -264,7 +277,8 @@ def fused_kl_loss_spmd(
     def local(hs, ht, ws, wt):
         if local_impl == "pallas":
             return fused_kl_sum(hs, ws, ht, wt, temperature=temperature,
-                                student_head_layout=student_head_layout)
+                                student_head_layout=student_head_layout,
+                                teacher_logits=_mesh_tmode())
         return _rowchunked(
             lambda h1, h2: _kl_sum_xla(h1, ws, h2, wt, temperature, vd=vd),
             (hs, ht), n_out=1,
@@ -358,8 +372,9 @@ def fused_loca_ce_loss_spmd(
         # for ~1.9 GB HBM at the KD shapes — measured +3.1% KD step on
         # v5e, loss trace unchanged to 5 decimals; docs/PERF_NOTES.md).
         # KDSS_LOCA_TMAT=0 restores recompute.
-        # The mesh path below keeps recompute: per-shard rows are few and
-        # GSPMD would replicate the buffer per chip.
+        # The mesh path below defaults to recompute (per-shard rows are
+        # few); KDSS_LOCA_TMAT_MESH=1 opts in per-shard materialization
+        # (see _mesh_tmode).
         tmode = ("materialize"
                  if os.environ.get("KDSS_LOCA_TMAT", "1") == "1"
                  else "recompute")
@@ -377,6 +392,7 @@ def fused_loca_ce_loss_spmd(
                 hs, ws, ht, wt, lab, labce,
                 temperature=temperature, alpha=alpha, eps=eps,
                 student_head_layout=student_head_layout,
+                teacher_logits=_mesh_tmode(),
             )
 
         def both(h1, h2, ll, llce):

@@ -304,3 +304,41 @@ def test_no_mesh_dispatch_uses_materialized_teacher(monkeypatch):
     fs.fused_loca_ce_loss_spmd(hs, ws, ht, wt, lab, lab)
     fs.fused_kl_loss_spmd(hs, ws, ht, wt)
     assert seen == {"loca_ce": "recompute", "kl": "recompute"}
+
+
+def test_mesh_dispatch_tmat_knob(monkeypatch):
+    """Under a mesh the pallas arm defaults to teacher_logits="recompute"
+    (per-shard buffers multiply per chip) and honors the opt-in
+    KDSS_LOCA_TMAT_MESH=1 per-shard materialization (_mesh_tmode)."""
+    import knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_spmd as fs
+
+    seen = {}
+
+    def fake_loca_ce_sums(*a, **k):
+        seen["loca_ce"] = k.get("teacher_logits")
+        return jnp.zeros(()), jnp.zeros(()), jnp.zeros(())
+
+    def fake_kl_sum(*a, **k):
+        seen["kl"] = k.get("teacher_logits")
+        return jnp.zeros(())
+
+    monkeypatch.setattr(fs, "fused_loca_ce_sums", fake_loca_ce_sums)
+    monkeypatch.setattr(fs, "fused_kl_sum", fake_kl_sum)
+    hs = jnp.zeros((8, 16)); ht = jnp.zeros((8, 16))
+    ws = jnp.zeros((16, 32)); wt = jnp.zeros((16, 32))
+    lab = jnp.zeros((8,), jnp.int32)
+
+    mesh = make_mesh(MeshConfig(2, 2, 2))
+    monkeypatch.delenv("KDSS_LOCA_TMAT_MESH", raising=False)
+    with jax.set_mesh(mesh):
+        fs.fused_loca_ce_loss_spmd(hs, ws, ht, wt, lab, lab,
+                                   local_impl="pallas")
+        fs.fused_kl_loss_spmd(hs, ws, ht, wt, local_impl="pallas")
+    assert seen == {"loca_ce": "recompute", "kl": "recompute"}
+
+    monkeypatch.setenv("KDSS_LOCA_TMAT_MESH", "1")
+    with jax.set_mesh(mesh):
+        fs.fused_loca_ce_loss_spmd(hs, ws, ht, wt, lab, lab,
+                                   local_impl="pallas")
+        fs.fused_kl_loss_spmd(hs, ws, ht, wt, local_impl="pallas")
+    assert seen == {"loca_ce": "materialize", "kl": "materialize"}
