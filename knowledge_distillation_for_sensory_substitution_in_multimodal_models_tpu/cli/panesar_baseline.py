@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vocab_dir", type=str, default="panesar_vocab")
     p.add_argument("--ckpt", type=str, default="checkpoints/panesar")
     p.add_argument("--max_items", type=int, default=None)
+    p.add_argument("--img_size", type=int, default=IMG_SIZE,
+                   help="input resolution (VGG16 trunk is size-agnostic "
+                   "before the flatten; torchvision classifier weights "
+                   "only line up at 224 — smaller sizes are for offline "
+                   "smoke/CI, e.g. the Optuna-search test)")
     p.add_argument("--optuna_trials", type=int, default=0,
                    help="Bayesian lr search when optuna is installed")
     common.add_tpu_flags(p)
@@ -78,12 +83,12 @@ def load_vocabs(vocab_dir: str):
     return qwords, answers
 
 
-def encode_batch(ds, idxs, qwords, answers, seq_len=16):
+def encode_batch(ds, idxs, qwords, answers, seq_len=16, img_size=IMG_SIZE):
     from PIL import Image
 
     b = len(idxs)
-    rgb = np.zeros((b, IMG_SIZE, IMG_SIZE, 3), np.float32)
-    depth = np.zeros((b, IMG_SIZE, IMG_SIZE, 3), np.float32)
+    rgb = np.zeros((b, img_size, img_size, 3), np.float32)
+    depth = np.zeros((b, img_size, img_size, 3), np.float32)
     qids = np.zeros((b, seq_len), np.int32)
     ys = np.zeros((b,), np.int32)
     valid = np.ones((b,), bool)
@@ -92,7 +97,7 @@ def encode_batch(ds, idxs, qwords, answers, seq_len=16):
     for j, i in enumerate(idxs):
         q, a, rgb_np, depth3, _ = ds[i]
         for arr, out in ((rgb_np, rgb), (depth3, depth)):
-            im = Image.fromarray(arr).resize((IMG_SIZE, IMG_SIZE), Image.BILINEAR)
+            im = Image.fromarray(arr).resize((img_size, img_size), Image.BILINEAR)
             out[j] = (np.asarray(im, np.float32) / 255.0 - mean) / std
         toks = _tokenize_q(q)[:seq_len]
         qids[j, : len(toks)] = [qwords.get(w, 1) for w in toks]
@@ -134,7 +139,8 @@ def main(argv=None):
     )
 
     rng = jax.random.PRNGKey(args.seed)
-    rgb0, depth0, q0, _, _ = encode_batch(train_ds, [0], qwords, answers)
+    rgb0, depth0, q0, _, _ = encode_batch(train_ds, [0], qwords, answers,
+                                          img_size=args.img_size)
     params = model.init(rng, jnp.asarray(rgb0), jnp.asarray(depth0), jnp.asarray(q0))["params"]
 
     import orbax.checkpoint as ocp
@@ -151,7 +157,8 @@ def main(argv=None):
         fwd = jax.jit(lambda p, r, d, q: model.apply({"params": p}, r, d, q))
         for start in range(0, n_val, args.batch_size):
             idxs = range(start, min(start + args.batch_size, n_val))
-            rgb, depth, qids, ys, valid = encode_batch(val_ds, idxs, qwords, answers)
+            rgb, depth, qids, ys, valid = encode_batch(
+                val_ds, idxs, qwords, answers, img_size=args.img_size)
             logits = np.asarray(fwd(params, jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(qids)))
             pred = logits.argmax(-1)
             correct += int(((pred == ys) & valid).sum())
@@ -218,7 +225,7 @@ def main(argv=None):
             order = np.random.default_rng(epoch).permutation(n_train)
             for idxs, pad in padded_batches(n_train, order):
                 rgb, depth, qids, ys, valid = encode_batch(
-                    train_ds, idxs, qwords, answers)
+                    train_ds, idxs, qwords, answers, img_size=args.img_size)
                 if pad:
                     valid = valid.copy()
                     valid[len(valid) - pad:] = 0
@@ -229,7 +236,7 @@ def main(argv=None):
             num = den = 0.0
             for idxs, pad in padded_batches(n_val):
                 rgb, depth, qids, ys, valid = encode_batch(
-                    val_ds, idxs, qwords, answers)
+                    val_ds, idxs, qwords, answers, img_size=args.img_size)
                 if pad:
                     valid = valid.copy()
                     valid[len(valid) - pad:] = 0

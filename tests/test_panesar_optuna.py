@@ -72,6 +72,8 @@ def _run_search(tmp_path, capsys):
     panesar_baseline.main([
         "train", "--synthetic_data", "--cpu", "--epochs", "1",
         "--max_items", "3", "--batch_size", "3", "--optuna_trials", "2",
+        "--img_size", "64",  # VGG16 trunk is size-agnostic; 64px cuts the
+        # conv FLOPs ~12x so the search-loop test stays CI-sized
         "--vocab_dir", str(tmp_path / "vocab"),
         "--ckpt", str(tmp_path / "ckpt"),
     ])
