@@ -42,6 +42,16 @@ class GenerateConfig:
     temperature: float = 0.7
     allowed_token_ids: Optional[tuple] = None
 
+    def __post_init__(self):
+        # fail loudly instead of silently decoding without the constraint
+        if self.no_repeat_ngram_size not in (0, None, 2):
+            raise NotImplementedError(
+                f"no_repeat_ngram_size={self.no_repeat_ngram_size}: only 2 "
+                "(the reference's value) or 0/None (off) are implemented"
+            )
+        if self.max_new_tokens < 1:
+            raise ValueError("max_new_tokens must be >= 1")
+
 
 def _tpu_compiler_options():
     """Raised scoped-VMEM limit for the big-block flash kernels (the
@@ -80,7 +90,9 @@ class Generator:
 
     Usage: ``gen = Generator(model, cfg, gcfg); out = gen.generate(params,
     batch)`` where batch carries the student_* keys of the collator (eval
-    mode).  Returns dict with "sequences" [B, S+N] and "lengths".
+    mode).  Returns dict with "sequences" [B, S+N], "valid" [B, S+N],
+    "lengths" (prompt + generated real tokens), "prompt_lengths",
+    "finished" [B] and "tokens" [B, N].
     """
 
     def __init__(
@@ -205,12 +217,26 @@ class Generator:
             ), tok
 
         carry = (caches, next_logits, buf, valid, presence, last_tok, finished, lengths)
-        carry, toks = jax.lax.scan(step, carry, jnp.arange(gc.max_new_tokens))
-        _, _, buf, valid, _, _, finished, final_len = carry
+        # Scan N-1 steps; the N-th pick happens OUTSIDE the scan so the
+        # loop never runs a trailing one-token forward whose logits are
+        # discarded (1/N of the decode-step FLOPs at N new tokens).
+        carry, toks = jax.lax.scan(
+            step, carry, jnp.arange(gc.max_new_tokens - 1)
+        )
+        _, next_logits, buf, valid, presence, last_tok, finished, cur_len = carry
+        tok = pick_token(next_logits, presence, buf, valid, last_tok)
+        tok = jnp.where(finished, gc.eos_token_id, tok)
+        buf = buf.at[jnp.arange(b), cur_len].set(tok)
+        valid = valid.at[jnp.arange(b), cur_len].max(~finished)
+        finished = finished | (tok == gc.eos_token_id)
+        toks = jnp.concatenate([toks, tok[None]], axis=0)
         return {
             "sequences": buf,
             "valid": valid,
+            # prompt + generated real tokens (incl. the closing eos)
+            "lengths": valid.sum(axis=1),
             "prompt_lengths": lengths,
+            "finished": finished,
             "tokens": toks.T,  # [B, N] in generation order
         }
 

@@ -89,6 +89,13 @@ def _fwd_kernel(
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
+        # Fully-masked rows: every column sits at MASK_VALUE, so m_new ==
+        # MASK_VALUE and exp(s - m_new) == 1 per column — NOT 0.  Zero the
+        # row explicitly so l stays 0 and the finalize guard emits out=0 /
+        # lse=MASK_VALUE (and backward, guarded on lse below, emits zero
+        # grads).  Rows with any valid column are unaffected: their masked
+        # columns underflow to 0 since m_new >> MASK_VALUE.
+        p = jnp.where(m_new > MASK_VALUE * 0.5, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -111,8 +118,10 @@ def _fwd_kernel(
         l = l_ref[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, MASK_VALUE, m_ref[:, 0:1] + jnp.log(l_safe))
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        if lse_ref is not None:  # fwd-only calls skip the lse output
+            lse = jnp.where(
+                l == 0.0, MASK_VALUE, m_ref[:, 0:1] + jnp.log(l_safe))
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _dq_kernel(
@@ -142,6 +151,8 @@ def _dq_kernel(
             s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
         )
         p = jnp.exp(s - lse)
+        # zero grads for fully-masked rows (fwd stored lse=MASK_VALUE)
+        p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -190,6 +201,8 @@ def _dkv_kernel(
             s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
         )
         p = jnp.exp(s - lse)  # [bq, bk] f32
+        # zero grads for fully-masked rows (fwd stored lse=MASK_VALUE)
+        p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
         p_lo = p.astype(do.dtype)
         dv_acc[:] += jax.lax.dot_general(
             p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -249,8 +262,9 @@ _BLOCK_TARGET = int(os.environ.get("KDSS_FLASH_BLOCK", "1024"))
 
 
 def _pick_block(s: int, target: int = None) -> int:
-    """Largest block <= target minimizing padding waste (e.g. 729 -> 384,
-    padded seq 768, instead of 512 -> 1024)."""
+    """Block <= target minimizing padding waste, ties to the LARGEST such
+    block (e.g. 729 -> 768 as one block, not 512 -> padded 1024; equal-pad
+    384 loses the tie to 768's fewer programs)."""
     if target is None:
         target = _BLOCK_TARGET
     if s <= 128:
@@ -267,11 +281,11 @@ def _pick_block(s: int, target: int = None) -> int:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, kv_mask, causal, scale):
-    out, _ = _flash_fwd_impl(q, k, v, kv_mask, causal, scale)
+    out, _ = _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=False)
     return out
 
 
-def _flash_fwd_impl(q, k, v, kv_mask, causal, scale):
+def _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     group = hq // hkv
@@ -291,25 +305,34 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale):
     kernel = functools.partial(
         _fwd_kernel, causal=causal, scale=scale, bq=bq, bk=bk, n_kv=n_kv
     )
+    # Fwd-only calls (decode prefill, eval forward) drop the lse output:
+    # its [B, H, S, 128] f32 HBM write is pure waste unless a backward
+    # will consume it.
+    if not with_lse:
+        kernel = _drop_arg(kernel, 5)
     if kv_mask is None:
         kernel = _drop_arg(kernel, 3)
         in_specs = in_specs[:3]
         inputs = inputs[:3]
 
-    out, lse = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=(b, hq, n_q, n_kv),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -319,7 +342,7 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
     )(*inputs)
-    return out, lse
+    return (outs[0], outs[1]) if with_lse else (outs[0], None)
 
 
 def _drop_arg(kernel, idx):
@@ -597,7 +620,10 @@ def flash_attention_spmd(
         if mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[2] == 1:
             kv_mask = jnp.broadcast_to(mask[:, 0, 0, :], (b, k.shape[1]))
         elif mask.ndim == 2:
-            kv_mask = mask
+            # match flash_attention's contract: a broadcastable [1, Skv]
+            # mask must reach full [B, Skv] BEFORE the shard_map, whose
+            # batch in_spec cannot shard a size-1 dim
+            kv_mask = jnp.broadcast_to(mask, (b, k.shape[1]))
         else:
             raise ValueError("pallas_spmd supports kv-padding masks only")
 
@@ -705,6 +731,13 @@ def _gqa_fwd_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
         m_prev = m_ref[:, 0:1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
+        # Fully-masked rows: every column sits at MASK_VALUE, so m_new ==
+        # MASK_VALUE and exp(s - m_new) == 1 per column — NOT 0.  Zero the
+        # row explicitly so l stays 0 and the finalize guard emits out=0 /
+        # lse=MASK_VALUE (and backward, guarded on lse below, emits zero
+        # grads).  Rows with any valid column are unaffected: their masked
+        # columns underflow to 0 since m_new >> MASK_VALUE.
+        p = jnp.where(m_new > MASK_VALUE * 0.5, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = jnp.broadcast_to(
             l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True),
@@ -725,8 +758,11 @@ def _gqa_fwd_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
         l_safe = jnp.where(l == 0.0, 1.0, l)
         d = o_ref.shape[-1]
         o_ref[0, 0] = (acc_ref[:] / l_safe).reshape(g, bq, d).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, MASK_VALUE, m_ref[:, 0:1] + jnp.log(l_safe))
-        lse_ref[0, 0] = jnp.broadcast_to(lse, (g * bq, 128)).reshape(g, bq, 128)
+        if lse_ref is not None:  # fwd-only calls skip the lse output
+            lse = jnp.where(
+                l == 0.0, MASK_VALUE, m_ref[:, 0:1] + jnp.log(l_safe))
+            lse_ref[0, 0] = jnp.broadcast_to(
+                lse, (g * bq, 128)).reshape(g, bq, 128)
 
 
 def _gqa_dq_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
@@ -754,6 +790,8 @@ def _gqa_dq_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
             s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
                           kv_mask_blk=kvm)
         p = jnp.exp(s - lse)
+        # zero grads for fully-masked rows (fwd stored lse=MASK_VALUE)
+        p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -797,6 +835,8 @@ def _gqa_dkv_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
             s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
                           kv_mask_blk=kvm)
         p = jnp.exp(s - lse)
+        # zero grads for fully-masked rows (fwd stored lse=MASK_VALUE)
+        p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
         # p^T @ do sums over ALL group rows: the GQA dk/dv reduction is free
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -854,7 +894,8 @@ def _gqa_pick_bq(s: int, g: int) -> int:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash_gqa(q, k, v, kv_mask, causal, scale):
-    return _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale)[0]
+    return _flash_gqa_fwd_impl(
+        q, k, v, kv_mask, causal, scale, with_lse=False)[0]
 
 
 def _gqa_specs(b, hkv, g, bq, bk, d, kv_mask, q_major=True):
@@ -878,7 +919,7 @@ def _gqa_specs(b, hkv, g, bq, bk, d, kv_mask, q_major=True):
     return qspec, kspec, mspec
 
 
-def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale):
+def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
     # q [B, HKV, G, S, D]; k/v [B, HKV, S, D]
     b, hkv, g, sq, d = q.shape
     skv = k.shape[2]
@@ -892,20 +933,24 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale):
                                g=g, bq=bq, bk=bk, n_kv=n_kv)
     in_specs = [qspec, kspec, kspec]
     inputs = [q, k, v]
+    if not with_lse:  # see _flash_fwd_impl: skip the wasted lse write
+        kernel = _drop_arg(kernel, 5)
     if kv_mask is not None:
         in_specs.append(mspec)
         inputs.append(kv_mask.astype(jnp.int8)[:, None, :])
     else:
         kernel = _drop_arg(kernel, 3)
-    out, lse = pl.pallas_call(
+    out_specs = [qspec] + ([lspec] if with_lse else [])
+    out_shape = [jax.ShapeDtypeStruct((b, hkv, g, sq, d), q.dtype)] + (
+        [jax.ShapeDtypeStruct((b, hkv, g, sq, 128), jnp.float32)]
+        if with_lse else []
+    )
+    outs = pl.pallas_call(
         kernel,
         grid=(b, hkv, n_q, n_kv),
         in_specs=in_specs,
-        out_specs=[qspec, lspec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hkv, g, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, hkv, g, sq, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((g * bq, d), jnp.float32),
             pltpu.VMEM((g * bq, 128), jnp.float32),
@@ -916,7 +961,7 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale):
                                  "arbitrary"),
         ),
     )(*inputs)
-    return out, lse
+    return (outs[0], outs[1]) if with_lse else (outs[0], None)
 
 
 def _flash_gqa_vjp_fwd(q, k, v, kv_mask, causal, scale):

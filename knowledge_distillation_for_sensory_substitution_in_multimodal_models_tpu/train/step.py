@@ -138,19 +138,29 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
         fused_loca = fused and need_loca and not use_faithful_loca
         fused_ce = fused and need_ce
         fused_kl = fused and need_kl
-        terms = chunked_kd_terms(
-            s_hidden,
-            ws,
-            labels,
-            teacher_hidden=th,
-            teacher_head=wt,
-            temperature=lc.temperature,
-            loca_alpha=lc.loca_alpha,
-            chunk_size=cfg.loss_chunk_size,
-            need_ce=need_ce and not fused_ce,
-            need_kl=need_kl and not fused_kl,
-            need_loca=need_loca and not use_faithful_loca and not fused_loca,
-        )
+        # every mode that needs LoCa also needs CE (see the need_* table
+        # above), so the fused dispatch below only handles loca+ce combined
+        assert not (fused_loca and not fused_ce), "loca without ce"
+        chunk_ce = need_ce and not fused_ce
+        chunk_kl = need_kl and not fused_kl
+        chunk_loca = need_loca and not use_faithful_loca and not fused_loca
+        if chunk_ce or chunk_kl or chunk_loca:
+            terms = chunked_kd_terms(
+                s_hidden,
+                ws,
+                labels,
+                teacher_hidden=th,
+                teacher_head=wt,
+                temperature=lc.temperature,
+                loca_alpha=lc.loca_alpha,
+                chunk_size=cfg.loss_chunk_size,
+                need_ce=chunk_ce,
+                need_kl=chunk_kl,
+                need_loca=chunk_loca,
+            )
+        else:
+            # don't even trace the chunked scan when every term is fused
+            terms = {}
         metrics: Dict[str, jnp.ndarray] = dict(terms)
         if fused_ce or fused_kl or fused_loca:
             # The *_spmd wrappers shard rows over (data, fsdp) via
@@ -162,7 +172,6 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                 fused_ce_loss_spmd,
                 fused_kl_loss_spmd,
                 fused_loca_ce_loss_spmd,
-                fused_loca_loss_spmd,
             )
 
             impl = cfg.fused_local_impl
@@ -174,16 +183,18 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                     [labels[:, 1:],
                      jnp.full((b, 1), IGNORE_INDEX, labels.dtype)], axis=1
                 ).reshape(b * s_len)
-            if fused_loca and fused_ce:
-                # phases 2/3 + logit_based: one combined pipeline computes
-                # both terms (4 head sweeps vs 13 — ops/fused_loca.py).
+            def fused_head():
                 # A tied student head enters in its native [V, D] embedding
                 # layout — no 260 MB transpose copy of the 152k-row table.
                 if models.student.cfg.text.tie_word_embeddings:
-                    ws_fused = params["language_model"]["embed_tokens"]["embedding"]
-                    layout = "vd"
-                else:
-                    ws_fused, layout = ws, "dv"
+                    emb = params["language_model"]["embed_tokens"]["embedding"]
+                    return emb, "vd"
+                return ws, "dv"
+
+            if fused_loca:
+                # phases 2/3 + logit_based: one combined pipeline computes
+                # both terms (4 head sweeps vs 13 — ops/fused_loca.py).
+                ws_fused, layout = fused_head()
                 metrics["loca"], metrics["ce"] = fused_loca_ce_loss_spmd(
                     flat_h, ws_fused,
                     th.reshape(b * s_len, th.shape[-1]), wt,
@@ -192,34 +203,18 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                     local_impl=impl, student_head_layout=layout,
                 )
             elif fused_ce:
-                if models.student.cfg.text.tie_word_embeddings:
-                    ws_ce = params["language_model"]["embed_tokens"]["embedding"]
-                    ce_layout = "vd"
-                else:
-                    ws_ce, ce_layout = ws, "dv"
+                ws_ce, ce_layout = fused_head()
                 metrics["ce"] = fused_ce_loss_spmd(
                     flat_h, ws_ce, ce_labels, local_impl=impl,
                     w_layout=ce_layout,
                 )
             if fused_kl:
-                if models.student.cfg.text.tie_word_embeddings:
-                    ws_kl = params["language_model"]["embed_tokens"]["embedding"]
-                    kl_layout = "vd"
-                else:
-                    ws_kl, kl_layout = ws, "dv"
+                ws_kl, kl_layout = fused_head()
                 metrics["kl"] = fused_kl_loss_spmd(
                     flat_h, ws_kl,
                     th.reshape(b * s_len, th.shape[-1]), wt,
                     temperature=lc.temperature, local_impl=impl,
                     student_head_layout=kl_layout,
-                )
-            if fused_loca and not fused_ce:
-                metrics["loca"] = fused_loca_loss_spmd(
-                    flat_h, ws,
-                    th.reshape(b * s_len, th.shape[-1]), wt,
-                    labels.reshape(b * s_len),
-                    temperature=lc.temperature, alpha=lc.loca_alpha,
-                    local_impl=impl,
                 )
         terms = metrics
         if use_faithful_loca:

@@ -204,3 +204,35 @@ def test_gqa_decode_matches_xla(b, sq, hq, hkv, d):
     m3[0, :, :] = False  # fully-masked row must produce finite output
     got3 = gqa_decode_attention(q, k, v, mask=jnp.asarray(m3))
     assert np.isfinite(np.asarray(got3)).all()
+
+
+@pytest.mark.parametrize("hq,hkv", [(2, 2), (4, 2)])  # plain + GQA kernels
+def test_fully_masked_sample_zero_output_and_grads(hq, hkv):
+    """A sample whose kv mask is all False must produce out=0 and ZERO
+    gradients, not mean(V) / garbage: masked columns sit at MASK_VALUE so
+    exp(s - m_new) == 1 for fully-masked rows unless explicitly zeroed
+    (the l==0 finalize guard alone never fires)."""
+    b, s, d = 2, 128, 64
+    q, k, v = _mk(b, s, s, hq, hkv, d, seed=5)
+    m = np.ones((b, s), dtype=bool)
+    m[1, :] = False  # sample 1 fully masked
+    mask = jnp.asarray(m)
+
+    def loss(q, k, v):
+        out = flash_attention(q, k, v, mask=mask, causal=False)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, mask=mask, causal=False)
+        gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    np.testing.assert_array_equal(np.asarray(out)[1], 0.0)
+    for g in (gq, gk, gv):
+        ga = np.asarray(g)
+        assert np.all(np.isfinite(ga))
+        np.testing.assert_array_equal(ga[1], 0.0)
+    # the valid sample still matches the XLA reference
+    ref = dot_product_attention(q, k, v, mask=mask[:, None, None, :])
+    np.testing.assert_allclose(
+        np.asarray(out)[0], np.asarray(ref)[0], atol=2e-5, rtol=2e-5
+    )
