@@ -205,6 +205,22 @@ class Qwen2Attention(nn.Module):
                 # ~60% of the profiled decode step, PERF_NOTES r3).
                 from ..ops.attention import gqa_decode_attention
 
+                if s > 1:
+                    # Cached multi-token call on the non-flash arm:
+                    # gqa_decode_attention applies only the mask it is
+                    # given, so causality vs the cache (and validity of
+                    # the not-yet-written tail) must be encoded here.  A
+                    # caller-supplied decode_mask already contains this —
+                    # the AND is then a no-op.
+                    total = ck.shape[1]
+                    ci = jnp.asarray(
+                        cache_index if cache_index is not None else 0
+                    )
+                    ci2 = ci[:, None] if ci.ndim == 1 else ci.reshape(1, 1)
+                    q_pos = ci2 + jnp.arange(s)[None, :]          # [B|1, s]
+                    k_pos = jnp.arange(total)[None, None, :]      # [1,1,total]
+                    causal = (k_pos <= q_pos[:, :, None])[:, None]
+                    mask = causal if mask is None else mask & causal
                 out = gqa_decode_attention(q, k, v, mask=mask)
         else:
             impl = self.attn_impl if s >= 128 else "xla"
@@ -327,7 +343,14 @@ class Qwen2LM(nn.Module):
         b, s, _ = x.shape
 
         if positions is None:
+            # Cached calls offset positions by the write index — a bare
+            # arange would rotate every decoded token at position 0.
             positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+            if caches is not None and cache_index is not None:
+                ci = jnp.asarray(cache_index)
+                positions = positions + (
+                    ci[:, None] if ci.ndim == 1 else ci
+                )
         cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta, self.dtype)
 
         # attention_mask: [B, Skv] padding mask -> [B, 1, Sq, Skv].

@@ -30,6 +30,8 @@ import jax.ad_checkpoint
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..parallel.mesh import active_abstract_mesh as _abstract_mesh
+
 # Finite "minus infinity": keeps exp()/max() well-defined for fully masked
 # rows (same approach as jax.experimental.pallas.ops flash kernels).
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -533,16 +535,6 @@ def flash_attention(
     out = _flash(qt, kt, vt, kv_mask, causal, scale)
     out = out[:, :, :sq, :d]
     return jnp.swapaxes(out, 1, 2).astype(q.dtype)
-
-
-def _abstract_mesh():
-    try:
-        m = jax.sharding.get_abstract_mesh()
-        if m is not None and m.shape_tuple:
-            return m
-    except Exception:
-        pass
-    return None
 
 
 def flash_attention_spmd(

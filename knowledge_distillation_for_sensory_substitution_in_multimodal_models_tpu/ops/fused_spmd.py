@@ -3,7 +3,9 @@
 Pallas custom calls are opaque to GSPMD: invoked directly inside a
 mesh-jitted program, the partitioner replicates their operands and every
 chip sweeps the full [N, V] logits space.  These wrappers instead shard
-the row axis N = B*S over the (data, fsdp) mesh axes with ``shard_map``
+the row axis N = B*S over the dividing mesh axes (data/fsdp/tensor — the
+head matrices enter replicated, so tensor can carry rows too) with
+``shard_map``
 — each shard runs the kernel on its rows only — then ``psum`` the
 per-shard partial sums and apply the global reduction outside.  The head
 matrices enter replicated (one all-gather of a vocab-sharded teacher
@@ -41,6 +43,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..losses.kd_losses import IGNORE_INDEX, loca_calibrated_probs
+from ..parallel.mesh import active_abstract_mesh as _abstract_mesh
 from .fused_ce import check_teacher_vocab, fused_ce_loss, fused_ce_sum
 from .fused_kl import fused_kl_loss, fused_kl_sum
 from .fused_loca import (
@@ -64,27 +67,23 @@ def _mesh_tmode() -> str:
             else "recompute")
 
 
-def _abstract_mesh():
-    try:
-        m = jax.sharding.get_abstract_mesh()
-        if m is not None and m.shape_tuple:
-            return m
-    except Exception:
-        pass
-    return None
-
-
 def _row_axes(mesh, n_rows: int) -> Tuple[str, ...]:
-    """Largest (data, fsdp) axis combo with size > 1 that divides N."""
+    """Axis combo (subset of data/fsdp/tensor, mesh order) MAXIMIZING the
+    shard count that divides N.  The head matrices enter the wrappers
+    replicated, so loss rows can shard over ``tensor`` too — on a
+    tensor-dominant mesh (e.g. a (1,1,8) v5e-8) the [N, V] sweep would
+    otherwise run fully replicated on every chip."""
+    names = ("data", "fsdp", "tensor")
     sizes = {a: mesh.shape[a] for a in mesh.axis_names}
-    for axes in (("data", "fsdp"), ("data",), ("fsdp",)):
+    best, best_prod = (), 1
+    for bits in range(1, 8):
+        axes = tuple(a for i, a in enumerate(names) if bits >> i & 1)
         prod = 1
         for a in axes:
             prod *= sizes.get(a, 1)
-        if prod > 1 and n_rows % prod == 0:
-            if all(sizes.get(a, 1) >= 1 and a in sizes for a in axes):
-                return axes
-    return ()
+        if prod > best_prod and n_rows % prod == 0:
+            best, best_prod = axes, prod
+    return best
 
 
 # ---------------------------------------------------------------------------

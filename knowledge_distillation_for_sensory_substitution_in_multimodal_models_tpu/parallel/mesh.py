@@ -80,3 +80,17 @@ def make_mesh(cfg: MeshConfig, devices=None) -> Mesh:
     else:
         dev_array = np.asarray(devices).reshape(cfg.shape)
     return Mesh(dev_array, AXIS_NAMES)
+
+
+def active_abstract_mesh():
+    """The mesh set via ``jax.set_mesh`` (abstract form), or None.
+
+    Single probe shared by the shard_map wrappers (ops/flash_attention.py,
+    ops/fused_spmd.py) so a JAX API change is fixed in one place."""
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        if m is not None and m.shape_tuple:
+            return m
+    except Exception:
+        pass
+    return None

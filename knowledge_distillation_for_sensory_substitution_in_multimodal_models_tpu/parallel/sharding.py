@@ -10,7 +10,7 @@ Scheme (Megatron-style TP + ZeRO-style fsdp on the complementary dim):
 ==============================  =======================  ====================
 weight                          shape                    spec
 ==============================  =======================  ====================
-embed_tokens.embedding          [V, D]                   (tensor, fsdp)
+embed_tokens.embedding          [V, D]                   (fsdp, tensor)
 attn q/k/v kernel               [D, H*hd]                (fsdp, tensor)
 attn q/k/v bias                 [H*hd]                   (tensor,)
 attn o/out kernel               [H*hd, D]                (tensor, fsdp)
@@ -145,42 +145,42 @@ def constrain(x, *spec):
     per-layer outputs) to anchor GSPMD propagation; under single-device jit
     or eager it is the identity, so the same model serves both paths.
     """
+    import jax
+
     try:
-        import jax
-
         abstract_mesh = jax.sharding.get_abstract_mesh()
-        if abstract_mesh is None or not abstract_mesh.shape_tuple:
-            return x
-        if any(
-            ax is not None and ax not in abstract_mesh.axis_names
-            for s in spec
-            for ax in ((s,) if (s is None or isinstance(s, str)) else s)
-        ):
-            return x
-        # Drop axes that do not divide the dimension (e.g. a size-1 batch
-        # over data*fsdp in tiny configs): GSPMD would otherwise pad and
-        # "involuntarily fully rematerialize" on the transpose pass.
-        sizes = dict(abstract_mesh.shape_tuple)
-
-        def _fit(dim_size, s):
-            axes = (s,) if isinstance(s, str) else tuple(s or ())
-            prod = 1
-            kept = []
-            for ax in axes:
-                if dim_size % (prod * sizes[ax]) == 0:
-                    kept.append(ax)
-                    prod *= sizes[ax]
-            if not kept:
-                return None
-            return kept[0] if len(kept) == 1 else tuple(kept)
-
-        spec = tuple(
-            None if s is None else _fit(d, s)
-            for d, s in zip(x.shape, spec)
-        )
-        return jax.lax.with_sharding_constraint(x, P(*spec))
-    except Exception:
+    except Exception:  # pre-set_mesh JAX versions only
         return x
+    if abstract_mesh is None or not abstract_mesh.shape_tuple:
+        return x
+    if any(
+        ax is not None and ax not in abstract_mesh.axis_names
+        for s in spec
+        for ax in ((s,) if (s is None or isinstance(s, str)) else s)
+    ):
+        return x
+    # Drop axes that do not divide the dimension (e.g. a size-1 batch
+    # over data*fsdp in tiny configs): GSPMD would otherwise pad and
+    # "involuntarily fully rematerialize" on the transpose pass.
+    sizes = dict(abstract_mesh.shape_tuple)
+
+    def _fit(dim_size, s):
+        axes = (s,) if isinstance(s, str) else tuple(s or ())
+        prod = 1
+        kept = []
+        for ax in axes:
+            if dim_size % (prod * sizes[ax]) == 0:
+                kept.append(ax)
+                prod *= sizes[ax]
+        if not kept:
+            return None
+        return kept[0] if len(kept) == 1 else tuple(kept)
+
+    spec = tuple(
+        None if s is None else _fit(d, s)
+        for d, s in zip(x.shape, spec)
+    )
+    return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
 def batch_sharding(mesh: Mesh, accum: bool = False) -> NamedSharding:
