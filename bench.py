@@ -67,7 +67,11 @@ def _flops_per_sample(params, seq_len: int, n_tiles: int, t_per_tile: int) -> fl
     lm = params["language_model"]
     p_emb = count(lm["embed_tokens"])
     p_lm = count(lm) - p_emb
-    head = p_emb  # tied head matmul
+    # Tied models reuse the embedding as the head matmul (add p_emb once);
+    # untied models carry an explicit lm_head already inside p_lm — adding
+    # p_emb again double-counted the head for untied teachers (r3 fix; the
+    # r2-recorded TFLOP/s and ref-est were ~5% optimistic for kd mode).
+    head = 0 if "lm_head" in lm else p_emb
     return 6.0 * (
         p_vis * n_tiles * t_per_tile + (p_lm + head) * seq_len
     )
@@ -87,6 +91,40 @@ def _materialize(shape_tree, seed, dtype):
             jax.random.normal(keys[i], leaves[i].shape, dtype) * 0.02
             for i in range(len(leaves))
         ]
+
+    return jax.tree.unflatten(treedef, init(jax.random.PRNGKey(seed)))
+
+
+def _materialize_quantized(shape_tree, seed):
+    """Materialize a quantized param tree directly in its final layout
+    (int8 kernels + positive f32 scales + bf16 leftovers) so the
+    full-precision intermediate never exists on the chip — at the real 7B
+    teacher the bf16 tree alone is ~16 GB, i.e. the whole chip."""
+    import jax
+    import jax.numpy as jnp
+    from jax.tree_util import keystr, tree_flatten_with_path
+
+    paths_leaves, treedef = tree_flatten_with_path(shape_tree)
+
+    @jax.jit
+    def init(key):
+        keys = jax.random.split(key, max(len(paths_leaves), 1))
+        out = []
+        for i, (path, leaf) in enumerate(paths_leaves):
+            if jnp.issubdtype(leaf.dtype, jnp.integer):
+                out.append(jax.random.randint(
+                    keys[i], leaf.shape, -127, 128, jnp.int32
+                ).astype(leaf.dtype))
+            elif "scale" in keystr(path):
+                # dequant scales must be positive; magnitude matches what
+                # quantizing N(0, 0.02) weights would produce (~max/127)
+                out.append(jax.random.uniform(
+                    keys[i], leaf.shape, jnp.float32, 0.5, 1.5
+                ).astype(leaf.dtype) * 6e-4)
+            else:
+                out.append((jax.random.normal(
+                    keys[i], leaf.shape, jnp.float32) * 0.02).astype(leaf.dtype))
+        return out
 
     return jax.tree.unflatten(treedef, init(jax.random.PRNGKey(seed)))
 
@@ -115,6 +153,7 @@ def _configs(args):
 
     from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.configs import (
         llava_onevision_0_5b,
+        llava_onevision_7b,
         llava_onevision_tiny,
         llava_onevision_tiny_teacher,
     )
@@ -132,6 +171,18 @@ def _configs(args):
     # S=4864 / 8 tiles from a miscount — 40% of that workload was
     # padding; docs/PERF_NOTES.md keeps both series.)
     scfg = dataclasses.replace(llava_onevision_0_5b(), max_tiles=5)
+    if getattr(args, "teacher", "standin") == "7b":
+        # The REAL 7B teacher config (152128 vocab / 3584 hidden / 28
+        # layers) executed on ONE chip: int8 teacher (~8 GB) + the 0.5B
+        # student train state squeeze under 16 GB with the teacher
+        # materialized directly in quantized form and the 1.9 GB
+        # materialized-teacher-logits buffer disabled (see bench_train).
+        return dict(
+            scfg=scfg,
+            tcfg=dataclasses.replace(llava_onevision_7b(), max_tiles=5),
+            seq_len=3072, orig=(530, 730), chunk=256, dtype=jnp.bfloat16,
+            attn_impl="pallas",
+        )
     # Single-chip KD bench teacher scaled to ~1.2B so teacher fwd +
     # student train fit one 16GB chip (the real 7B teacher is a
     # multi-chip tensor-parallel config; see dryrun_multichip).
@@ -228,16 +279,41 @@ def bench_train(args, mode: str) -> dict:
             vision_quant=quant_impl(gspmd=mesh is not None)
             if tq == "int8_full" else "none",
         )
-        tparams = _materialize(_shapes(
-            LlavaOnevision(tcfg, dtype=dtype), micro, 1, "teacher"), 1, dtype)
+        tshapes = _shapes(LlavaOnevision(tcfg, dtype=dtype), micro, 1,
+                          "teacher")
+        if getattr(args, "teacher", "standin") == "7b":
+            import os
+
+            # The [S, V_t] f32 materialized-teacher-logits buffer is
+            # 1.9 GB at the 152128 vocab — recompute instead (the HBM is
+            # spoken for by the 8 GB int8 teacher).  Overridable.
+            os.environ.setdefault("KDSS_LOCA_TMAT", "0")
+            if tq not in ("int8", "int8_full"):
+                print("WARNING: --teacher 7b at bf16 is ~16 GB of weights "
+                      "— expect RESOURCE_EXHAUSTED on a 16 GB chip; use "
+                      "--teacher_quant int8_full", file=sys.stderr)
         if tq in ("int8", "int8_full"):
             from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
                 quantize_lm_params_int8,
             )
-            tparams = jax.jit(functools.partial(
-                quantize_lm_params_int8,
-                include_vision=tq == "int8_full",
-            ))(tparams)
+            quantize = functools.partial(
+                quantize_lm_params_int8, include_vision=tq == "int8_full",
+            )
+            if getattr(args, "teacher", "standin") == "7b":
+                # materialize straight into the quantized layout — the
+                # bf16 7B intermediate alone would fill the whole chip
+                bf16_shapes = jax.tree.map(
+                    lambda s: jax.ShapeDtypeStruct(
+                        s.shape,
+                        dtype if s.dtype == jnp.float32 else s.dtype),
+                    tshapes,
+                )
+                tparams = _materialize_quantized(
+                    jax.eval_shape(quantize, bf16_shapes), 1)
+            else:
+                tparams = jax.jit(quantize)(_materialize(tshapes, 1, dtype))
+        else:
+            tparams = _materialize(tshapes, 1, dtype)
         # Single-chip KD bench runs double-trouble phase 3 by default
         # (--kd_phase; see module docstring).
         cfg = TrainConfig(
@@ -489,6 +565,14 @@ def main() -> None:
                     "(lax.scan inside the jit step; the reference trains "
                     "with accumulate_grad_batches=64, which amortizes the "
                     "optimizer update the accum=1 bench pays per sample)")
+    ap.add_argument("--teacher", choices=["standin", "7b"],
+                    default="standin",
+                    help="kd mode teacher: the ~1.2B width-scaled stand-in "
+                    "(default; fits comfortably) or the REAL "
+                    "llava-onevision-7b config (152128 vocab / 3584 hidden "
+                    "/ 28 layers) executed on the single chip — requires "
+                    "--teacher_quant int8/int8_full and materializes the "
+                    "teacher directly in quantized form")
     ap.add_argument("--teacher_quant",
                     choices=["none", "int8", "int8_full"],
                     default="int8_full",
@@ -572,7 +656,9 @@ def main() -> None:
     model_tag = "tiny-cpu-smoke" if args.cpu else "0.5B student"
     if "kd" in results:
         head, label = results["kd"], f"kd_double_trouble_p{args.kd_phase}"
-        teacher_tag = "tiny teacher" if args.cpu else "1.2B teacher"
+        teacher_tag = ("tiny teacher" if args.cpu
+                       else "7B teacher" if args.teacher == "7b"
+                       else "1.2B teacher")
         if args.teacher_quant != "none":
             teacher_tag += f" ({args.teacher_quant})"
         detail = f"{teacher_tag}, S={head['seq_len']}, B={head['batch']}"
