@@ -16,10 +16,13 @@ Modes:
     headline config) with a ~1.2B width-scaled stand-in teacher, running
     the fused Pallas LoCa/CE kernels on one chip at the realistic
     S=3072 workload (it did not fit 16 GB at round 1's padded S=4864
-    shape).  The real 7B teacher is still a multi-chip tensor-parallel
-    configuration; their
-    sharded program is validated by ``__graft_entry__.dryrun_multichip``
-    and tests/test_fused_spmd.py.
+    shape).  ``--teacher 7b`` swaps in the REAL llava-onevision-7b config
+    (152128 vocab / 3584 hidden / 28 layers), squeezed onto the one chip
+    by materializing the teacher directly in its int8 layout.  The
+    production 7B deployment is a multi-chip tensor-parallel
+    configuration; its sharded program is validated by
+    ``__graft_entry__.dryrun_multichip``, tests/test_fused_spmd.py, and
+    the 7B-shape AOT compile in tests/test_7b_scale.py.
   * ``generation`` — jit KV-cache greedy decode (flash-kernel prefill),
     32 new tokens on a ~3k-token anyres prompt, reference decode config
     (`evaluation/onevisionv3/evaluate_onevision.py:186-195`).
@@ -271,6 +274,18 @@ def bench_train(args, mode: str) -> dict:
         )
 
         tq = args.teacher_quant
+        # int8 token embedding + int8 lm_head streamed by the loss
+        # kernels: the fit-enabling lever for --teacher 7b (saves the
+        # 1.1 GB embed half + the 1.1 GB bf16 head copy), measured
+        # opt-in for the stand-in.
+        eh = args.teacher_embed_quant
+        if eh == "auto":
+            eh = ("int8" if (args.teacher == "7b"
+                             and tq in ("int8", "int8_full")) else "none")
+        if eh == "int8" and tq not in ("int8", "int8_full"):
+            raise SystemExit(
+                "--teacher_embed_quant int8 requires --teacher_quant "
+                "int8/int8_full (quantize_lm_params_int8 drives both)")
         teacher = LlavaOnevision(
             tcfg, dtype=dtype, remat=remat, remat_vision=remat_vision,
             attn_impl=attn_impl,
@@ -278,6 +293,7 @@ def bench_train(args, mode: str) -> dict:
             if tq in ("int8", "int8_full") else "none",
             vision_quant=quant_impl(gspmd=mesh is not None)
             if tq == "int8_full" else "none",
+            embed_quant=eh,
         )
         tshapes = _shapes(LlavaOnevision(tcfg, dtype=dtype), micro, 1,
                           "teacher")
@@ -298,6 +314,7 @@ def bench_train(args, mode: str) -> dict:
             )
             quantize = functools.partial(
                 quantize_lm_params_int8, include_vision=tq == "int8_full",
+                include_embed_head=eh == "int8",
             )
             if getattr(args, "teacher", "standin") == "7b":
                 # materialize straight into the quantized layout — the
@@ -579,6 +596,13 @@ def main() -> None:
                     help="int8: w8a8 decoder-block matmuls for the frozen "
                     "teacher (MXU int8 path measures ~1.6x bf16; halves "
                     "teacher weight HBM) — see ops/int8.py")
+    ap.add_argument("--teacher_embed_quant",
+                    choices=["auto", "none", "int8"], default="auto",
+                    help="int8: per-row int8 token embedding + int8 "
+                    "lm_head streamed by the fused loss kernels (halves "
+                    "embed+head HBM and removes the bf16 head copy). "
+                    "auto = int8 for --teacher 7b (fit-enabling), none "
+                    "for the stand-in")
     ap.add_argument("--decode_marginal", action="store_true",
                     help="generation mode: also measure the steady-state "
                     "decode tok/s (marginal rate between 32- and 96-token "
@@ -660,7 +684,11 @@ def main() -> None:
                        else "7B teacher" if args.teacher == "7b"
                        else "1.2B teacher")
         if args.teacher_quant != "none":
-            teacher_tag += f" ({args.teacher_quant})"
+            eh = args.teacher_embed_quant
+            if eh == "auto":
+                eh = "int8" if args.teacher == "7b" else "none"
+            teacher_tag += f" ({args.teacher_quant}"
+            teacher_tag += "+eh)" if eh == "int8" else ")"
         detail = f"{teacher_tag}, S={head['seq_len']}, B={head['batch']}"
     elif "baseline_depth" in results:
         head, label = results["baseline_depth"], "baseline_depth"

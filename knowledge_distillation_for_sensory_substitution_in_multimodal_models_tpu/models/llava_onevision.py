@@ -70,12 +70,16 @@ class LlavaOnevision(nn.Module):
     remat_policy: str = "full"
     attn_impl: str = "xla"  # "pallas" = flash-attention kernels
     # "int8": w8a8 LM decoder-block projections (frozen-teacher inference
-    # path; params via ops.int8.quantize_lm_params_int8).  Projector,
-    # embeddings and lm-head stay bf16 — see ops/int8.py.
+    # path; params via ops.int8.quantize_lm_params_int8).  Projector and
+    # norms stay bf16 — see ops/int8.py.
     lm_quant: str = "none"
     # "int8": w8a8 SigLIP encoder projections too
     # (quantize_lm_params_int8(include_vision=True)).
     vision_quant: str = "none"
+    # "int8": per-row int8 token embedding + int8 lm_head in the params
+    # (quantize_lm_params_int8(include_embed_head=True)); the fused loss
+    # kernels stream the int8 head directly (train/step.py::teacher_head).
+    embed_quant: str = "none"
 
     def setup(self):
         c = self.cfg
@@ -94,7 +98,8 @@ class LlavaOnevision(nn.Module):
         self.language_model = Qwen2LM(
             c.text, self.dtype, remat=self.remat,
             remat_policy=self.remat_policy, attn_impl=self.attn_impl,
-            quant=self.lm_quant, name="language_model"
+            quant=self.lm_quant, embed_quant=self.embed_quant,
+            name="language_model"
         )
 
     def encode_images(self, pixel_values: jnp.ndarray):

@@ -60,6 +60,37 @@ class QDense(nn.Module):
         return y
 
 
+class QEmbed(nn.Module):
+    """Int8 drop-in for ``nn.Embed`` on the frozen-teacher path.
+
+    Declares ``embedding_q`` (int8 [V, D]) + ``embedding_scale`` (f32
+    [V, 1] per-row) in place of ``embedding``; populate with
+    ``ops.int8.quantize_lm_params_int8(include_embed_head=True)``.  A
+    lookup gathers the int8 row and its one scale — half the embedding
+    HBM (1.09 GB -> 0.55 GB at the 7B teacher's 152128 x 3584 table).
+    Untied-head models only (``attend`` is deliberately absent: a tied
+    head must stay differentiable/bf16 — the student never quantizes).
+    """
+
+    num_embeddings: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        eq = self.param(
+            "embedding_q", nn.initializers.zeros,
+            (self.num_embeddings, self.features), jnp.int8,
+        )
+        es = self.param(
+            "embedding_scale", nn.initializers.ones,
+            (self.num_embeddings, 1), jnp.float32,
+        )
+        rows = jnp.take(eq, input_ids, axis=0).astype(jnp.float32)
+        scales = jnp.take(es[:, 0], input_ids, axis=0)
+        return (rows * scales[..., None]).astype(self.dtype)
+
+
 def qdense_cls(quant: str):
     """Dense class for a ``quant`` mode string.
 
@@ -297,14 +328,27 @@ class Qwen2LM(nn.Module):
     # "int8": w8a8 decoder-block projections (embed/norms/lm_head stay
     # bf16).  For the frozen KD teacher — see ops/int8.py.
     quant: str = "none"
+    # "int8": per-row int8 token embedding (QEmbed; untied teachers only
+    # — the loss kernels take the quantized lm_head separately).
+    embed_quant: str = "none"
 
     def setup(self):
         c = self.cfg
-        self.embed_tokens = nn.Embed(
-            c.vocab_size, c.hidden_size, dtype=self.dtype,
-            embedding_init=nn.initializers.normal(stddev=0.02),
-            name="embed_tokens",
-        )
+        if self.embed_quant == "int8":
+            assert not c.tie_word_embeddings, (
+                "embed_quant='int8' is for untied (frozen-teacher) models; "
+                "a tied head must stay bf16/trainable"
+            )
+            self.embed_tokens = QEmbed(
+                c.vocab_size, c.hidden_size, dtype=self.dtype,
+                name="embed_tokens",
+            )
+        else:
+            self.embed_tokens = nn.Embed(
+                c.vocab_size, c.hidden_size, dtype=self.dtype,
+                embedding_init=nn.initializers.normal(stddev=0.02),
+                name="embed_tokens",
+            )
         layer_cls = (
             nn.remat(Qwen2Layer, prevent_cse=False,
                      policy=_remat_policy(self.remat_policy))

@@ -190,7 +190,10 @@ def check_teacher_vocab(teacher_head, v_real: int, vd: bool = False):
     """The KD kernels mask teacher columns >= v_real (prefix truncation,
     reference `logit_based/...:222`) — that only clamps correctly when the
     teacher vocab is at least the student's.  Fail loudly otherwise.
-    ``vd``: the teacher head is in [V, D] layout (vocab on axis 0)."""
+    ``vd``: the teacher head is in [V, D] layout (vocab on axis 0).
+    ``teacher_head`` may be the int8 (kernel_q, kernel_scale) pair."""
+    if isinstance(teacher_head, tuple):
+        teacher_head = teacher_head[0]
     vt = teacher_head.shape[0] if vd else teacher_head.shape[1]
     if vt < v_real:
         raise ValueError(

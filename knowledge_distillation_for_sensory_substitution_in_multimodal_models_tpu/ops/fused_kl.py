@@ -25,13 +25,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_ce import (BN, BV, NEG, _cdiv, _col_ids, _logits,
                        _masked_w_any, _pad_to, _w_spec, check_teacher_vocab)
 from .fused_loca import (_TMAT_DUMMY_SHAPE, _materialize_t, _t_block,
-                         _tmat_specs)
+                         _tmat_specs, _wts_spec)
 
 
-def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
-                   g_ref, dhs_ref, acc,
-                   *, v_real: int, inv_t: float, n_v: int, vd: bool,
-                   tmat: bool = False):
+def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
+                   v_real: int, inv_t: float, n_v: int, vd: bool,
+                   tmat: bool = False, tq: bool = False):
+    wts_ref = None
+    if tq:
+        wts_ref, *rest = rest
+    lses_ref, lset_ref, g_ref, dhs_ref, acc = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -39,7 +42,7 @@ def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
         acc[:] = jnp.zeros_like(acc)
 
     s = _logits(hs_ref[:], ws_ref[:], vd) * inv_t
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
     ps = jnp.where(in_vocab, jnp.exp(s - lses_ref[:, 0:1]), 0.0)
@@ -56,10 +59,13 @@ def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
         dhs_ref[:] = acc[:].astype(dhs_ref.dtype)
 
 
-def _kl_dws_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
-                   g_ref, dws_ref, acc,
-                   *, v_real: int, inv_t: float, n_n: int, vd: bool,
-                   tmat: bool = False):
+def _kl_dws_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
+                   v_real: int, inv_t: float, n_n: int, vd: bool,
+                   tmat: bool = False, tq: bool = False):
+    wts_ref = None
+    if tq:
+        wts_ref, *rest = rest
+    lses_ref, lset_ref, g_ref, dws_ref, acc = rest
     j, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
@@ -67,7 +73,7 @@ def _kl_dws_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lses_ref, lset_ref,
         acc[:] = jnp.zeros_like(acc)
 
     s = _logits(hs_ref[:], ws_ref[:], vd) * inv_t
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
     ps = jnp.where(in_vocab, jnp.exp(s - lses_ref[:, 0:1]), 0.0)
@@ -108,11 +114,9 @@ def _kl_rows(hs, ws, ht, wt, v_real, inv_t, vd=False, tmat=False):
     return _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd, tmat)[0]
 
 
-def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref,
-                    kl_ref, ls_ref, lt_ref,
-                    sc_ms, sc_zs, sc_mt, sc_zt, sc_u, sc_w,
-                    *, v_real: int, inv_t: float, n_v: int, vd: bool,
-                    tmat: bool = False):
+def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
+                    v_real: int, inv_t: float, n_v: int, vd: bool,
+                    tmat: bool = False, tq: bool = False):
     """ONE sweep for the whole KL forward (replaces 2 lse passes + a KL
     pass).  Uses the decomposition
 
@@ -122,6 +126,11 @@ def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref,
     with U = Σ e^(t-mt)·t, W = Σ e^(t-mt)·s, Zt = Σ e^(t-mt) — all three
     (plus the student's own online lse) rescale under the running-max
     update exactly like a flash-attention accumulator."""
+    wts_ref = None
+    if tq:
+        wts_ref, *rest = rest
+    (kl_ref, ls_ref, lt_ref,
+     sc_ms, sc_zs, sc_mt, sc_zt, sc_u, sc_w) = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -134,7 +143,7 @@ def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref,
         sc_w[:] = jnp.zeros_like(sc_w)
 
     s = _logits(hs_ref[:], ws_ref[:], vd) * inv_t
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
     s = jnp.where(in_vocab, s, NEG)
@@ -194,18 +203,21 @@ def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd, tmat=False):
     else:
         t_in, wt_in = ht, wt
         hspec_t, cspec_t, _ = _row_specs(ht.shape[1])
+    tq = isinstance(wt_in, tuple)
+    t_ops = (wt_in[0], wt_in[1]) if tq else (wt_in,)
+    t_specs = [cspec_t, _wts_spec()] if tq else [cspec_t]
     kl, ls, lt = pl.pallas_call(
         functools.partial(_kl_fwd1_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, vd=vd, tmat=tmat),
+                          n_v=n_v, vd=vd, tmat=tmat, tq=tq),
         grid=(n_n, n_v),
-        in_specs=[hspec, _w_spec(d, vd), hspec_t, cspec_t],
+        in_specs=[hspec, _w_spec(d, vd), hspec_t, *t_specs],
         out_specs=[rspec] * 3,
         out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 3,
         scratch_shapes=[pltpu.VMEM((BN, 128), jnp.float32)] * 6,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(hs, ws, t_in, wt_in)
+    )(hs, ws, t_in, *t_ops)
     return kl[:, 0], (ls[:, 0], lt[:, 0], t_in, wt_in)
 
 
@@ -229,12 +241,15 @@ def _kl_rows_bwd(v_real, inv_t, vd, tmat, res, g):
         hspec_t, cspec_t = _tmat_specs()
     else:
         hspec_t, cspec_t, _ = _row_specs(ht.shape[1])
+    tq = isinstance(wt_in, tuple)
+    t_ops = (wt_in[0], wt_in[1]) if tq else (wt_in,)
+    t_specs = [cspec_t, _wts_spec()] if tq else [cspec_t]
 
     dhs = pl.pallas_call(
         functools.partial(_kl_dhs_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, vd=vd, tmat=tmat),
+                          n_v=n_v, vd=vd, tmat=tmat, tq=tq),
         grid=(n_n, n_v),
-        in_specs=[hspec, _w_spec(d, vd), hspec_t, cspec_t,
+        in_specs=[hspec, _w_spec(d, vd), hspec_t, *t_specs,
                   rspec, rspec, rspec],
         out_specs=hspec,
         out_shape=jax.ShapeDtypeStruct((n, d), hs.dtype),
@@ -242,18 +257,19 @@ def _kl_rows_bwd(v_real, inv_t, vd, tmat, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(hs, ws, t_in, wt_in, lse_s[:, None], lse_t[:, None], g2)
+    )(hs, ws, t_in, *t_ops, lse_s[:, None], lse_t[:, None], g2)
 
     hspec2, cspec2, rspec2 = _row_specs(d, q_major=False)
     if tmat:
         hspec2_t, cspec2_t = _tmat_specs(q_major=False)
     else:
         hspec2_t, cspec2_t, _ = _row_specs(ht.shape[1], q_major=False)
+    t_specs2 = [cspec2_t, _wts_spec(q_major=False)] if tq else [cspec2_t]
     dws = pl.pallas_call(
         functools.partial(_kl_dws_kernel, v_real=v_real, inv_t=inv_t,
-                          n_n=n_n, vd=vd, tmat=tmat),
+                          n_n=n_n, vd=vd, tmat=tmat, tq=tq),
         grid=(n_v, n_n),
-        in_specs=[hspec2, _w_spec(d, vd, q_major=False), hspec2_t, cspec2_t,
+        in_specs=[hspec2, _w_spec(d, vd, q_major=False), hspec2_t, *t_specs2,
                   rspec2, rspec2, rspec2],
         out_specs=_w_spec(d, vd, q_major=False),
         out_shape=jax.ShapeDtypeStruct(ws.shape, ws.dtype),
@@ -261,12 +277,11 @@ def _kl_rows_bwd(v_real, inv_t, vd, tmat, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(hs, ws, t_in, wt_in, lse_s[:, None], lse_t[:, None], g2)
+    )(hs, ws, t_in, *t_ops, lse_s[:, None], lse_t[:, None], g2)
 
-    # teacher side is stop-grad in KD; return zeros to satisfy the vjp
-    dht = jnp.zeros_like(ht)
-    dwt = jnp.zeros_like(wt)
-    return dhs, dws, dht, dwt
+    # teacher side is stop-grad in KD (None = symbolic zero; covers the
+    # int8 (kernel_q, kernel_scale) tuple form too)
+    return dhs, dws, jnp.zeros_like(ht), None
 
 
 _kl_rows.defvjp(_kl_rows_fwd, _kl_rows_bwd)
@@ -300,12 +315,17 @@ def fused_kl_sum(
     # truncates the teacher's extra vocab rows without a slice copy)
     ws = student_head
     wt = teacher_head
+    if isinstance(wt, tuple):
+        # int8 teacher head: kernels stream (kernel_q, [1, V] f32 scales)
+        # and dequantize per vocab block in VMEM (fused_loca._t_block)
+        wt = (wt[0], wt[1].reshape(1, -1).astype(jnp.float32))
     if hs.shape[1] % 128 != 0:
         hs = _pad_to(hs, 128, 1)
         ws = _pad_to(ws, 128, 1 if vd else 0)
     if ht.shape[1] % 128 != 0:
         ht = _pad_to(ht, 128, 1)
-        wt = _pad_to(wt, 128, 0)
+        wt = ((_pad_to(wt[0], 128, 0), wt[1]) if isinstance(wt, tuple)
+              else _pad_to(wt, 128, 0))
 
     kl_rows = _kl_rows(hs, ws, ht, wt, v_real, inv_t, vd,
                        teacher_logits == "materialize")

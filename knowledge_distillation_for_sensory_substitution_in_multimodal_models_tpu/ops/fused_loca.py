@@ -53,14 +53,30 @@ def _logits_block(h_ref, w_ref, inv_t):
     ) * inv_t
 
 
-def _t_block(ht_ref, wt_ref, inv_t, tmat):
+def _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref=None):
     """Teacher logits block: recomputed from (hidden, head) or — when
     ``tmat`` — streamed from a pre-materialized [N, V] f32 logit matrix
     (already scaled by 1/T) passed in the ``ht`` slot.  Materializing
     trades ~2·N·Dt·V re-FLOPs per sweep for one HBM read of the block —
-    a win whenever the [N, V] f32 buffer fits (single-chip B=1)."""
+    a win whenever the [N, V] f32 buffer fits (single-chip B=1).
+
+    ``wts_ref`` (int8-head form): ``wt_ref`` holds an int8 [Dt, BV] block
+    and ``wts_ref`` its f32 [1, BV] per-vocab-column dequant scales.  The
+    per-column scale factors out of the row dot exactly —
+    ``h @ (q * s) == (h @ q) * s`` — so the block dequantizes as one VPU
+    multiply AFTER the MXU dot, at half the head HBM traffic.  Edge-block
+    OOB reads are safe: int8 garbage is always finite, and any NaN/Inf in
+    the f32 scale tail lands only in cols >= v_real, which every caller
+    masks (same contract as the bf16 edge garbage, see _masked_w)."""
     if tmat:
         return ht_ref[:]
+    if wts_ref is not None:
+        t = jax.lax.dot_general(
+            ht_ref[:], wt_ref[:].astype(ht_ref.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * wts_ref[:]
+        return t if inv_t == 1.0 else t * inv_t
     return _logits_block(ht_ref, wt_ref, inv_t)
 
 
@@ -407,9 +423,22 @@ def _tmat_specs(q_major=True):
 _TMAT_DUMMY_SHAPE = (8, 128)
 
 
+def _wts_spec(q_major=True):
+    """Spec for the int8-head dequant-scale operand: f32 [1, BV] blocks of
+    the [1, V] per-vocab-column scale row (see _t_block)."""
+    if q_major:
+        col = lambda i, j: (0, j)  # noqa: E731
+    else:
+        col = lambda j, i: (0, j)  # noqa: E731
+    return pl.BlockSpec((1, BV), col, memory_space=pltpu.VMEM)
+
+
 def _call_rows(kernel, hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
                out_spec, out_shape, scratch, extra=(), q_major=True,
                ws_spec=None, tmat=False, sem=None):
+    """``wt`` may be (wt_q int8 [dt, V], wts f32 [1, V]) — the int8-head
+    form: the scale rides as one extra operand right after the head and
+    the kernel is invoked with ``tq=True`` (see _t_block)."""
     hspec, cspec, rspec = _specs(d, q_major)
     if tmat:
         hspec_t, cspec_t = _tmat_specs(q_major)
@@ -417,7 +446,12 @@ def _call_rows(kernel, hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
         hspec_t, cspec_t, _ = _specs(dt, q_major)
     if ws_spec is not None:
         cspec = ws_spec
-    in_specs = [hspec, cspec, hspec_t, cspec_t, rspec] + [rspec] * (
+    tq = isinstance(wt, tuple)
+    t_ops, t_specs = ((wt[0], wt[1]), [cspec_t, _wts_spec(q_major)]) \
+        if tq else ((wt,), [cspec_t])
+    if tq:
+        kernel = functools.partial(kernel, tq=True)
+    in_specs = [hspec, cspec, hspec_t, *t_specs, rspec] + [rspec] * (
         len(rows) + len(extra)
     )
     grid = (n_n, n_v) if q_major else (n_v, n_n)
@@ -429,7 +463,7 @@ def _call_rows(kernel, hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
         out_shape=out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(**(sem or _SEM)),
-    )(hs, ws, ht, wt, lab2, *rows, *extra)
+    )(hs, ws, ht, *t_ops, lab2, *rows, *extra)
 
 
 def _loca_rows_impl(hs, ws, ht, wt, labels, v_real, inv_t, alpha, eps):
@@ -515,6 +549,13 @@ def fused_loca_sum(
     Split out of :func:`fused_loca_loss` so row-sharded callers
     (ops/fused_spmd.py) can psum partial sums before the global mean.
     """
+    if isinstance(teacher_head, tuple):
+        # standalone path keeps bf16 kernels: dequantize up front (the
+        # combined LoCa+CE pipeline — the production path — streams the
+        # int8 head through the kernels instead, see fused_loca_ce_sums)
+        wq, wsc = teacher_head
+        teacher_head = (wq.astype(jnp.float32)
+                        * wsc.reshape(1, -1)).astype(teacher_hidden.dtype)
     n = student_hidden.shape[0]
     v_real = student_head.shape[1]
     check_teacher_vocab(teacher_head, v_real)
@@ -585,14 +626,22 @@ def fused_loca_loss(
 # ---------------------------------------------------------------------------
 
 
-def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref, labce_ref,
-                     lsesT_ref, lset_ref, gold_ref, m1_ref, m2_ref,
-                     lses1_ref, golds1_ref,
-                     sc_lsT, sc_lt, sc_g, sc_m1, sc_m2, sc_msT, sc_mt,
-                     sc_ls1, sc_ms1, sc_gs,
-                     *, v_real: int, inv_t: float, n_v: int, vd: bool,
-                     tmat: bool = False):
-    """_stats_kernel + student T=1 logsumexp + student CE gold logit."""
+def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
+                     v_real: int, inv_t: float, n_v: int, vd: bool,
+                     tmat: bool = False, tq: bool = False):
+    """_stats_kernel + student T=1 logsumexp + student CE gold logit.
+
+    ``tq``: the int8-teacher-head form — one extra operand (the f32
+    [1, BV] scale block) follows ``wt_ref``; see _t_block.  Non-tq
+    programs are byte-identical to before the operand existed."""
+    wts_ref = None
+    if tq:
+        wts_ref, *rest = rest
+    (lab_ref, labce_ref,
+     lsesT_ref, lset_ref, gold_ref, m1_ref, m2_ref,
+     lses1_ref, golds1_ref,
+     sc_lsT, sc_lt, sc_g, sc_m1, sc_m2, sc_msT, sc_mt,
+     sc_ls1, sc_ms1, sc_gs) = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -609,7 +658,7 @@ def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref, labce_ref,
         sc_gs[:] = jnp.zeros_like(sc_gs)
 
     s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
     s1 = jnp.where(in_vocab, s_raw, NEG)
@@ -664,13 +713,16 @@ def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref, labce_ref,
         golds1_ref[:] = sc_gs[:, 0:1]
 
 
-def _klts_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
-                     lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
-                     out_ref, tsum_ref, acc, acc_ts,
-                     *, v_real: int, inv_t: float, n_v: int, eps: float,
-                     vd: bool, tmat: bool = False):
+def _klts_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
+                     v_real: int, inv_t: float, n_v: int, eps: float,
+                     vd: bool, tmat: bool = False, tq: bool = False):
     """_kl_fwd_kernel that also emits tsum (sum of live loca) per row, so
     the backward skips its dedicated stats sweep."""
+    wts_ref = None
+    if tq:
+        wts_ref, *rest = rest
+    (lab_ref, lses_ref, lset_ref, sc_row_ref, tval_ref, vmask_ref,
+     out_ref, tsum_ref, acc, acc_ts) = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -679,7 +731,7 @@ def _klts_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         acc_ts[:] = jnp.zeros_like(acc_ts)
 
     s = _s_logits_block(hs_ref, ws_ref, inv_t, vd)
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
     s = jnp.where(in_vocab, s, NEG)
@@ -731,13 +783,16 @@ def _combined_ds(s_raw, t, cols, in_vocab, labels, labels_ce,
     return jnp.where(in_vocab, ds, 0.0)
 
 
-def _dhs_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
-                   labce_ref, lses_ref, lset_ref, sc_row_ref, tval_ref,
-                   vmask_ref, lses1_ref, vmce_ref,
-                   g_ref, gce_ref, tsum_ref,
-                   dhs_ref, acc,
-                   *, v_real: int, inv_t: float, n_v: int, eps: float,
-                   vd: bool, tmat: bool = False):
+def _dhs_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
+                   v_real: int, inv_t: float, n_v: int, eps: float,
+                   vd: bool, tmat: bool = False, tq: bool = False):
+    wts_ref = None
+    if tq:
+        wts_ref, *rest = rest
+    (lab_ref, labce_ref, lses_ref, lset_ref, sc_row_ref, tval_ref,
+     vmask_ref, lses1_ref, vmce_ref,
+     g_ref, gce_ref, tsum_ref,
+     dhs_ref, acc) = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -745,7 +800,7 @@ def _dhs_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         acc[:] = jnp.zeros_like(acc)
 
     s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
     t = jnp.where(in_vocab, t, NEG)
@@ -766,13 +821,16 @@ def _dhs_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         dhs_ref[:] = acc[:].astype(dhs_ref.dtype)
 
 
-def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
-                   labce_ref, lses_ref, lset_ref, sc_row_ref, tval_ref,
-                   vmask_ref, lses1_ref, vmce_ref,
-                   g_ref, gce_ref, tsum_ref,
-                   dws_ref, acc,
-                   *, v_real: int, inv_t: float, n_n: int, eps: float,
-                   vd: bool, tmat: bool = False):
+def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
+                   v_real: int, inv_t: float, n_n: int, eps: float,
+                   vd: bool, tmat: bool = False, tq: bool = False):
+    wts_ref = None
+    if tq:
+        wts_ref, *rest = rest
+    (lab_ref, labce_ref, lses_ref, lset_ref, sc_row_ref, tval_ref,
+     vmask_ref, lses1_ref, vmce_ref,
+     g_ref, gce_ref, tsum_ref,
+     dws_ref, acc) = rest
     j, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
@@ -780,7 +838,7 @@ def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         acc[:] = jnp.zeros_like(acc)
 
     s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
     t = jnp.where(in_vocab, t, NEG)
@@ -806,14 +864,10 @@ def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         dws_ref[:] = acc[:].astype(dws_ref.dtype)
 
 
-def _dhsws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
-                     labce_ref, lses_ref, lset_ref, sc_row_ref, tval_ref,
-                     vmask_ref, lses1_ref, vmce_ref,
-                     g_ref, gce_ref, tsum_ref,
-                     dws_ref, dhs_ref, acc_w, acc_h=None,
-                     *, v_real: int, inv_t: float, n_n: int, n_v: int,
+def _dhsws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
+                     v_real: int, inv_t: float, n_n: int, n_v: int,
                      eps: float, vd: bool, tmat: bool = False,
-                     partials: bool = False):
+                     partials: bool = False, tq: bool = False):
     """Fused backward: one sweep computes the combined d_logits block and
     contracts it BOTH ways (d_head and d_hidden), instead of recomputing
     the student/teacher logits in two separate kernels.
@@ -837,6 +891,14 @@ def _dhsws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
     persistent scratch, no block revisits); the caller sums the n_v
     partials in XLA.  Trades n_v·N·d·4 bytes of HBM round-trip for not
     holding the accumulator in VMEM across the whole grid."""
+    wts_ref = None
+    if tq:
+        wts_ref, *rest = rest
+    (lab_ref, labce_ref, lses_ref, lset_ref, sc_row_ref, tval_ref,
+     vmask_ref, lses1_ref, vmce_ref,
+     g_ref, gce_ref, tsum_ref,
+     dws_ref, dhs_ref, acc_w, *acc_h_opt) = rest
+    acc_h = acc_h_opt[0] if acc_h_opt else None
     j, i = pl.program_id(0), pl.program_id(1)
 
     if not partials:
@@ -849,7 +911,7 @@ def _dhsws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, lab_ref,
         acc_w[:] = jnp.zeros_like(acc_w)
 
     s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
     t = jnp.where(in_vocab, t, NEG)
@@ -907,10 +969,19 @@ def _loca_ce_rows(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha,
 def _materialize_t(ht, wt, inv_t):
     """[N, V] f32 teacher logits at 1/T in one XLA matmul (same dot +
     scale as ``_logits_block``, so values match the recompute form up to
-    f32 accumulation order)."""
-    t = jax.lax.dot_general(
-        ht, wt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    f32 accumulation order).  ``wt`` may be the int8 (kernel_q, scale)
+    pair — the per-column scale factors out of the dot exactly."""
+    if isinstance(wt, tuple):
+        wq, wts = wt
+        t = jax.lax.dot_general(
+            ht, wq.astype(ht.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * wts
+    else:
+        t = jax.lax.dot_general(
+            ht, wt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     return t if inv_t == 1.0 else t * inv_t
 
 
@@ -934,23 +1005,26 @@ def _loca_ce_rows_kernels(hs, ws, t_in, wt_in, lab_loca, lab_ce, v_real,
     v_width = ws.shape[0] if vd else ws.shape[1]
     n_n, n_v = n // BN, _cdiv(v_width, BV)
     hspec, _, rspec = _specs(d)
+    tq = isinstance(wt_in, tuple)
     if tmat:
         hspec_t, cspec_t = _tmat_specs()
     else:
         hspec_t, cspec_t, _ = _specs(dt)
+    t_ops = (wt_in[0], wt_in[1]) if tq else (wt_in,)
+    t_specs = [cspec_t, _wts_spec()] if tq else [cspec_t]
     wspec = _ws_block_spec(d, vd)
     lab2 = lab_loca[:, None].astype(jnp.int32)
     labce2 = lab_ce[:, None].astype(jnp.int32)
     outs = pl.pallas_call(
         functools.partial(_stats_ce_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, vd=vd, tmat=tmat),
+                          n_v=n_v, vd=vd, tmat=tmat, tq=tq),
         grid=(n_n, n_v),
-        in_specs=[hspec, wspec, hspec_t, cspec_t, rspec, rspec],
+        in_specs=[hspec, wspec, hspec_t, *t_specs, rspec, rspec],
         out_specs=[rspec] * 7,
         out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 7,
         scratch_shapes=[pltpu.VMEM((BN, 128), jnp.float32)] * 10,
         compiler_params=pltpu.CompilerParams(**_SEM),
-    )(hs, ws, t_in, wt_in, lab2, labce2)
+    )(hs, ws, t_in, *t_ops, lab2, labce2)
     lse_sT, lse_t, gold_t, m1, m2, lse_s1, gold_s1 = (o[:, 0] for o in outs)
 
     valid = lab_loca >= 0
@@ -1035,8 +1109,7 @@ def _loca_ce_rows_bwd(v_real, inv_t, alpha, eps, vd, tmat, res, g):
         )
         if part:
             dhs = dhs.sum(0).astype(hs.dtype)
-        return (dhs, dws, jnp.zeros_like(ht), jnp.zeros_like(wt),
-                None, None)
+        return (dhs, dws, jnp.zeros_like(ht), None, None, None)
     dhs = _call_rows(
         functools.partial(_dhs_ce_kernel, v_real=v_real, inv_t=inv_t,
                           n_v=n_v, eps=eps, vd=vd, tmat=tmat),
@@ -1055,7 +1128,7 @@ def _loca_ce_rows_bwd(v_real, inv_t, alpha, eps, vd, tmat, res, g):
         extra=extra, q_major=False,
         ws_spec=_ws_block_spec(d, vd, q_major=False), tmat=tmat,
     )
-    return (dhs, dws, jnp.zeros_like(ht), jnp.zeros_like(wt), None, None)
+    return (dhs, dws, jnp.zeros_like(ht), None, None, None)
 
 
 _loca_ce_rows.defvjp(_loca_ce_rows_fwd, _loca_ce_rows_bwd)
@@ -1093,6 +1166,11 @@ def fused_loca_ce_sums(
     (reference quirk, SURVEY.md §2.5 #3); ``ce_labels`` the shifted
     next-token targets with -100 ignored.  Row-sharded callers
     (ops/fused_spmd.py) psum all three before the global reductions.
+
+    ``teacher_head`` may be the int8 (kernel_q [Dt, Vt], kernel_scale
+    [Vt]) pair from ``quantize_lm_params_int8(include_embed_head=True)``:
+    the kernels stream the int8 head and dequantize per block in VMEM
+    (half the head HBM traffic; no bf16 head copy — see _t_block).
     """
     tmat = teacher_logits == "materialize"
     vd = student_head_layout == "vd"
@@ -1107,6 +1185,9 @@ def fused_loca_ce_sums(
     # truncates the teacher's extra vocab rows without a slice copy)
     ws = student_head
     wt = teacher_head
+    if isinstance(wt, tuple):
+        wq, wsc = wt
+        wt = (wq, wsc.reshape(1, -1).astype(jnp.float32))
     lab = _pad_to(
         jnp.where(loca_labels >= 0, loca_labels, -1).astype(jnp.int32),
         BN, 0, value=-1,
@@ -1120,7 +1201,8 @@ def fused_loca_ce_sums(
         ws = _pad_to(ws, 128, 1 if vd else 0)
     if ht.shape[1] % 128 != 0:
         ht = _pad_to(ht, 128, 1)
-        wt = _pad_to(wt, 128, 0)
+        wt = ((_pad_to(wt[0], 128, 0), wt[1]) if isinstance(wt, tuple)
+              else _pad_to(wt, 128, 0))
 
     kl_rows, ce_rows = _loca_ce_rows(
         hs, ws, ht, wt, lab, labce, v_real, inv_t, alpha, eps, vd, tmat

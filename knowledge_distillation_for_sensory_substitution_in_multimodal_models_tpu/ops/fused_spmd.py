@@ -67,6 +67,20 @@ def _mesh_tmode() -> str:
             else "recompute")
 
 
+def _dense_teacher_head(wt, dtype):
+    """Dequantize an int8 (kernel_q, kernel_scale) teacher head to a dense
+    matrix.  The SINGLE-DEVICE pipelines stream the int8 pair through the
+    Pallas kernels directly (fused_loca._t_block — no dense copy at all);
+    the mesh arm currently dequantizes up front because shard_map's
+    replicated-operand specs and the XLA local fallbacks take one dense
+    array.  Streaming the int8 head per shard is a future mesh lever
+    (halves the replicated-head HBM on every chip)."""
+    if isinstance(wt, tuple):
+        return (wt[0].astype(jnp.float32)
+                * wt[1].reshape(1, -1)).astype(dtype)
+    return wt
+
+
 def _row_axes(mesh, n_rows: int) -> Tuple[str, ...]:
     """Axis combo (subset of data/fsdp/tensor, mesh order) MAXIMIZING the
     shard count that divides N.  The head matrices enter the wrappers
@@ -271,6 +285,7 @@ def fused_kl_loss_spmd(
             temperature=temperature, student_head_layout=student_head_layout,
             teacher_logits=tmode,
         )
+    teacher_head = _dense_teacher_head(teacher_head, teacher_hidden.dtype)
     axes = _row_axes(mesh, n)
 
     def local(hs, ht, ws, wt):
@@ -316,6 +331,7 @@ def fused_loca_loss_spmd(
             student_hidden, student_head, teacher_hidden, teacher_head,
             labels, temperature=temperature, alpha=alpha, eps=eps,
         )
+    teacher_head = _dense_teacher_head(teacher_head, teacher_hidden.dtype)
     axes = _row_axes(mesh, n)
 
     def local(hs, ht, lab, ws, wt):
@@ -383,6 +399,7 @@ def fused_loca_ce_loss_spmd(
             eps=eps, student_head_layout=student_head_layout,
             teacher_logits=tmode,
         )
+    teacher_head = _dense_teacher_head(teacher_head, teacher_hidden.dtype)
     axes = _row_axes(mesh, n)
 
     def local(hs, ht, lab, labce, ws, wt):

@@ -15,10 +15,17 @@ Scheme (standard symmetric w8a8):
 ``quantize_lm_params_int8`` quantizes the Qwen2 decoder block projections
 (q/k/v/o, gate/up/down); with ``include_vision=True`` ("int8_full", the
 benched teacher configuration) the SigLIP encoder projections
-(q/k/v/out, fc1/fc2) quantize too.  Embeddings, norms, the lm-head, the
-patch conv and the projector always stay bf16: the head feeds the KD
-loss directly (logit fidelity is what the student distills from) and the
-rest are a negligible share of teacher FLOPs.
+(q/k/v/out, fc1/fc2) quantize too.  Norms, the patch conv and the
+projector always stay bf16 (negligible share of teacher bytes/FLOPs).
+``include_embed_head=True`` additionally quantizes the token embedding
+(per-row scales; consumed by a model built with ``embed_quant="int8"``)
+and the untied lm-head (per-vocab-column scales; the fused loss kernels
+in ops/fused_loca.py / ops/fused_kl.py stream the int8 head directly,
+dequantizing per vocab block in VMEM — the per-column scale factors out
+of the ``hidden @ head`` dot exactly).  At the real 7B teacher the
+embed+head pair is 2.2 GB of bf16; int8 halves it AND removes the 1 GB
+bf16 head copy the loss kernels otherwise materialize — the levers that
+fit the 7B-teacher KD step on a single 16 GB chip (bench.py --teacher 7b).
 
 The reference has no counterpart (its 7B teacher runs eager fp16 under
 torch.no_grad, `phase1/OnlineKnowledgeDistillationLLavaOneVision.py:206-225`);
@@ -248,20 +255,52 @@ def _quantize_tree(tree: Dict[str, Any], names=QUANTIZED_PROJ_NAMES) -> Dict[str
     return out
 
 
+def quantize_embedding_int8(
+    emb: jnp.ndarray, clip: float = 127.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[V, D] embedding -> (int8 [V, D], f32 [V, 1] per-ROW scale).
+
+    Per-row (per-token-id) scales: an embedding lookup gathers whole rows,
+    so dequantization is one gathered scale per token.
+    """
+    ef = emb.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(ef), axis=1, keepdims=True) / clip
+    scale = jnp.maximum(scale, 1e-8)
+    eq = jnp.clip(jnp.round(ef / scale), -clip, clip).astype(jnp.int8)
+    return eq, scale.astype(jnp.float32)
+
+
 def quantize_lm_params_int8(
-    params: Dict[str, Any], include_vision: bool = False
+    params: Dict[str, Any],
+    include_vision: bool = False,
+    include_embed_head: bool = False,
 ) -> Dict[str, Any]:
     """Quantize the decoder-block projections of a LlavaOnevision (or bare
     Qwen2LM) param tree for use with ``quant="int8"`` models.
 
     ``include_vision=True`` additionally quantizes the SigLIP encoder
     projections (``QUANTIZED_VISION_NAMES``) for a model built with
-    ``vision_quant="int8"``.  Everything else (embeddings, norms, lm_head,
-    projector, patch conv) passes through unchanged.
+    ``vision_quant="int8"``.  ``include_embed_head=True`` also quantizes
+    the token embedding (for ``embed_quant="int8"`` models; per-row
+    scales) and the untied lm_head (per-column scales; the fused loss
+    kernels consume the (kernel_q, kernel_scale) pair directly).  The
+    projector, norms and patch conv always pass through unchanged.
     """
     if "language_model" in params:
         new = dict(params)
-        new["language_model"] = _quantize_tree(params["language_model"])
+        lm = _quantize_tree(params["language_model"])
+        if include_embed_head:
+            lm = dict(lm)
+            emb = lm["embed_tokens"]
+            if "embedding" in emb:
+                eq, es = quantize_embedding_int8(emb["embedding"])
+                lm["embed_tokens"] = {
+                    "embedding_q": eq, "embedding_scale": es,
+                }
+            if "lm_head" in lm and "kernel" in lm["lm_head"]:
+                wq, ws = absmax_quantize_weight(lm["lm_head"]["kernel"])
+                lm["lm_head"] = {"kernel_q": wq, "kernel_scale": ws}
+        new["language_model"] = lm
         if include_vision and "vision_tower" in params:
             new["vision_tower"] = _quantize_tree(
                 params["vision_tower"], QUANTIZED_VISION_NAMES

@@ -89,6 +89,8 @@ def _rule_for_path(path: Tuple[str, ...]) -> Tuple:
             return (AXIS_FSDP, AXIS_TENSOR)
         if parent in ("o_proj", "down_proj", "out_proj", "fc2"):
             return (AXIS_TENSOR, AXIS_FSDP)
+        if parent == "lm_head":
+            return (AXIS_FSDP, AXIS_TENSOR)
         return ()
     if name == "kernel_scale":
         if parent in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
@@ -96,7 +98,15 @@ def _rule_for_path(path: Tuple[str, ...]) -> Tuple:
             return (AXIS_TENSOR,)
         if parent in ("o_proj", "down_proj", "out_proj", "fc2"):
             return (AXIS_FSDP,)
+        if parent == "lm_head":
+            return (AXIS_TENSOR,)
         return ()
+    # int8 token embedding (QEmbed): same layout rationale as "embedding"
+    # above; the per-row scale column follows the vocab axis.
+    if name == "embedding_q":
+        return (AXIS_FSDP, AXIS_TENSOR)
+    if name == "embedding_scale":
+        return (AXIS_FSDP, None)
 
     return ()
 

@@ -55,7 +55,37 @@ def student_head(params: Dict[str, Any], cfg: LlavaOnevisionConfig) -> jnp.ndarr
     return lm["lm_head"]["kernel"]
 
 
-teacher_head = student_head  # same layout rules (7B is untied -> lm_head)
+def teacher_head(params: Dict[str, Any], cfg: LlavaOnevisionConfig):
+    """Teacher head, same layout rules (7B is untied -> lm_head).
+
+    An int8-quantized head (``quantize_lm_params_int8(
+    include_embed_head=True)``) returns the (kernel_q, kernel_scale) pair
+    — the fused loss kernels stream it directly, dequantizing per vocab
+    block in VMEM (ops/fused_loca.py::_t_block); non-fused consumers
+    dequantize via :func:`dense_teacher_head`."""
+    lm = params["language_model"]
+    if cfg.text.tie_word_embeddings:
+        emb = lm["embed_tokens"]
+        assert "embedding" in emb, (
+            "tied teacher with a quantized embedding is unsupported: the "
+            "tied head must stay bf16 (quantize with "
+            "include_embed_head=False)"
+        )
+        return emb["embedding"].T
+    head = lm["lm_head"]
+    if "kernel_q" in head:
+        return (head["kernel_q"], head["kernel_scale"])
+    return head["kernel"]
+
+
+def dense_teacher_head(wt, dtype=jnp.bfloat16):
+    """Dequantize an int8 (kernel_q, kernel_scale) teacher head for the
+    non-fused loss paths (chunked scan, faithful-LoCa materialized logits).
+    One [Dt, Vt] temp — the fused kernels avoid it entirely."""
+    if isinstance(wt, tuple):
+        return (wt[0].astype(jnp.float32)
+                * wt[1].reshape(1, -1)).astype(dtype)
+    return wt
 
 
 def _forward_hidden(model, params, batch, prefix: str):
@@ -150,7 +180,8 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                 ws,
                 labels,
                 teacher_hidden=th,
-                teacher_head=wt,
+                teacher_head=dense_teacher_head(wt, s_hidden.dtype)
+                if wt is not None else None,
                 temperature=lc.temperature,
                 loca_alpha=lc.loca_alpha,
                 chunk_size=cfg.loss_chunk_size,
@@ -226,7 +257,8 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
                 "bsd,dv->bsv", s_hidden, ws, preferred_element_type=jnp.float32
             )
             t_logits = jnp.einsum(
-                "bsd,dv->bsv", th, wt, preferred_element_type=jnp.float32
+                "bsd,dv->bsv", th, dense_teacher_head(wt, th.dtype),
+                preferred_element_type=jnp.float32,
             )
             metrics["loca"] = loca_loss(
                 t_logits, s_logits, labels,

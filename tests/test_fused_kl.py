@@ -134,3 +134,37 @@ def test_fused_kl_materialized_teacher_matches_recompute(vd_layout):
                                rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(np.asarray(gw_m), np.asarray(gw_r),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_fused_kl_int8_teacher_head():
+    """Int8 teacher head through the one-sweep KL kernels (fwd + both
+    backward sweeps) matches the dense dequantized head."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
+        absmax_quantize_weight,
+    )
+
+    n, ds, dt, v, vt = 64, 128, 96, 280, 300
+    rng = np.random.default_rng(9)
+    hs = jnp.asarray(rng.normal(size=(n, ds)).astype(np.float32))
+    ht = jnp.asarray(rng.normal(size=(n, dt)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(ds, v)).astype(np.float32) * 0.05)
+    wt_f = jnp.asarray(rng.normal(size=(dt, vt)).astype(np.float32) * 0.05)
+    wq, wsc = absmax_quantize_weight(wt_f)
+    wt_dense = wq.astype(jnp.float32) * wsc[None, :]
+
+    def run(head):
+        def f(hs_, ws_):
+            return fused_kl_loss(hs_, ws_, ht, head, temperature=0.8)
+        with pltpu.force_tpu_interpret_mode():
+            loss, grads = jax.value_and_grad(f, argnums=(0, 1))(hs, ws)
+        return float(loss), grads
+
+    loss_q, (gh_q, gw_q) = run((wq, wsc))
+    loss_d, (gh_d, gw_d) = run(wt_dense)
+    np.testing.assert_allclose(loss_q, loss_d, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gh_q), np.asarray(gh_d),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_q), np.asarray(gw_d),
+                               atol=1e-5, rtol=1e-4)

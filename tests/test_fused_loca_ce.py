@@ -194,3 +194,51 @@ def test_fused_loca_ce_fused_bwd_matches_separate(monkeypatch, vd_layout,
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
                                rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("tmode", ["recompute", "materialize"])
+def test_fused_loca_ce_int8_teacher_head(tmode):
+    """Int8 teacher head streamed through the combined pipeline: the
+    kernels dequantize per vocab block in VMEM ((h @ q) * scale — the
+    per-column scale factors out of the dot exactly), so values/grads must
+    match the same pipeline fed the DENSE dequantized head to float
+    associativity (no bf16 rounding anywhere at f32 test dtypes)."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
+        absmax_quantize_weight,
+    )
+
+    n, ds, dt, v, vt = 64, 128, 256, 300, 340
+    temp, alpha = 0.8, 0.8
+    rng = np.random.default_rng(5)
+    hs = jnp.asarray(rng.normal(size=(n, ds)).astype(np.float32))
+    ht = jnp.asarray(rng.normal(size=(n, dt)).astype(np.float32))
+    ws = jnp.asarray(rng.normal(size=(ds, v)).astype(np.float32) * 0.05)
+    wt_f = jnp.asarray(rng.normal(size=(dt, vt)).astype(np.float32) * 0.05)
+    wq, wsc = absmax_quantize_weight(wt_f)
+    wt_dense = wq.astype(jnp.float32) * wsc[None, :]
+    loca_labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    loca_labels[:5] = -100
+    ce_labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    ce_labels[-4:] = -100
+    loca_labels, ce_labels = jnp.asarray(loca_labels), jnp.asarray(ce_labels)
+
+    def run(head):
+        def f(hs_, ws_):
+            loca, ce = fused_loca_ce_loss(
+                hs_, ws_, ht, head, loca_labels, ce_labels,
+                temperature=temp, alpha=alpha, teacher_logits=tmode,
+            )
+            return loca + ce, (loca, ce)
+        with pltpu.force_tpu_interpret_mode():
+            (total, (loca, ce)), grads = jax.value_and_grad(
+                f, argnums=(0, 1), has_aux=True)(hs, ws)
+        return (float(loca), float(ce)), grads
+
+    (loca_q, ce_q), (gh_q, gw_q) = run((wq, wsc))
+    (loca_d, ce_d), (gh_d, gw_d) = run(wt_dense)
+    np.testing.assert_allclose(loca_q, loca_d, rtol=1e-5)
+    np.testing.assert_allclose(ce_q, ce_d, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gh_q), np.asarray(gh_d),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_q), np.asarray(gw_d),
+                               atol=1e-5, rtol=1e-4)

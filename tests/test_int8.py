@@ -391,3 +391,91 @@ def test_qdense_int8_xla_mode_matches_int8_on_cpu():
     import flax.linen as nn
 
     assert qdense_cls("none") is nn.Dense
+
+
+def test_quantize_include_embed_head_layout_and_qembed():
+    """include_embed_head=True replaces the token embedding with
+    (embedding_q int8 [V,D], embedding_scale f32 [V,1]) and the untied
+    lm_head with (kernel_q, kernel_scale); a QEmbed model's lookup equals
+    the dense embedding of the dequantized table exactly."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.models.qwen2 import (
+        QEmbed,
+    )
+
+    teacher16 = LlavaOnevision(TCFG)
+    batch = synthetic_kd_batch(TCFG, batch_size=1, seq_len=64, seed=3)
+    micro = jax.tree.map(jnp.asarray, batch)  # no accum axis requested
+    tparams = teacher16.init(
+        jax.random.PRNGKey(1),
+        input_ids=micro["teacher_input_ids"],
+        attention_mask=micro["teacher_attention_mask"],
+        pixel_values=micro["teacher_pixel_values"],
+        pack_idx=micro["pack_idx"], pack_weight=micro["pack_weight"],
+        pack_valid=micro["pack_valid"], tile_valid=micro["tile_valid"],
+    )["params"]
+    q = quantize_lm_params_int8(tparams, include_embed_head=True)
+    lm = q["language_model"]
+    emb = lm["embed_tokens"]
+    assert set(emb) == {"embedding_q", "embedding_scale"}
+    vocab, d = tparams["language_model"]["embed_tokens"]["embedding"].shape
+    assert emb["embedding_q"].shape == (vocab, d)
+    assert emb["embedding_q"].dtype == jnp.int8
+    assert emb["embedding_scale"].shape == (vocab, 1)
+    assert set(lm["lm_head"]) == {"kernel_q", "kernel_scale"}
+
+    ids = jnp.asarray([[1, 5, 7, 0, vocab - 1]])
+    qe = QEmbed(vocab, d, dtype=jnp.float32)
+    got = qe.apply({"params": emb}, ids)
+    dense = (emb["embedding_q"].astype(jnp.float32)
+             * emb["embedding_scale"])
+    want = jnp.take(dense, ids, axis=0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_kd_step_with_int8_embed_head_teacher():
+    """Phase-3 step with the fully-quantized teacher (projections +
+    vision + embedding + head): runs via the quantization-aware
+    teacher_head extraction, finite, and close to the bf16-teacher loss.
+    This is the bench --teacher 7b configuration at tiny shapes."""
+    student = LlavaOnevision(SCFG)
+    batch = synthetic_kd_batch(SCFG, batch_size=1, seq_len=96, accum=1, seed=4)
+    batch = jax.tree.map(jnp.asarray, batch)
+    micro = jax.tree.map(lambda x: x[0], batch)
+
+    def init(model, key, prefix):
+        return model.init(
+            jax.random.PRNGKey(key),
+            input_ids=micro[f"{prefix}_input_ids"],
+            attention_mask=micro[f"{prefix}_attention_mask"],
+            pixel_values=micro[f"{prefix}_pixel_values"],
+            pack_idx=micro["pack_idx"],
+            pack_weight=micro["pack_weight"],
+            pack_valid=micro["pack_valid"],
+            tile_valid=micro["tile_valid"],
+        )["params"]
+
+    teacher16 = LlavaOnevision(TCFG)
+    teacher8 = LlavaOnevision(TCFG, lm_quant="int8", vision_quant="int8",
+                              embed_quant="int8")
+    sparams = init(student, 0, "student")
+    tparams = init(teacher16, 1, "teacher")
+    qtparams = quantize_lm_params_int8(tparams, include_vision=True,
+                                       include_embed_head=True)
+
+    cfg = TrainConfig(
+        kd_mode="double_trouble", phase=3,
+        loss=kd_loss_config_for("double_trouble"),
+        loss_chunk_size=32,
+    )
+
+    def run(teacher, tp):
+        tx = make_optimizer(sparams, 1e-3)
+        state = TrainState.create(apply_fn=None, params=sparams, tx=tx)
+        step = jax.jit(make_train_step(KDModels(student, teacher), cfg))
+        _, metrics = step(state, tp, batch)
+        return float(metrics["loss"])
+
+    loss16 = run(teacher16, tparams)
+    loss8 = run(teacher8, qtparams)
+    assert np.isfinite(loss8)
+    assert abs(loss8 - loss16) < 0.05 * abs(loss16) + 0.05, (loss8, loss16)
