@@ -67,20 +67,6 @@ def _mesh_tmode() -> str:
             else "recompute")
 
 
-def _dense_teacher_head(wt, dtype):
-    """Dequantize an int8 (kernel_q, kernel_scale) teacher head to a dense
-    matrix.  The SINGLE-DEVICE pipelines stream the int8 pair through the
-    Pallas kernels directly (fused_loca._t_block — no dense copy at all);
-    the mesh arm currently dequantizes up front because shard_map's
-    replicated-operand specs and the XLA local fallbacks take one dense
-    array.  Streaming the int8 head per shard is a future mesh lever
-    (halves the replicated-head HBM on every chip)."""
-    if isinstance(wt, tuple):
-        return (wt[0].astype(jnp.float32)
-                * wt[1].reshape(1, -1)).astype(dtype)
-    return wt
-
-
 def _row_axes(mesh, n_rows: int) -> Tuple[str, ...]:
     """Axis combo (subset of data/fsdp/tensor, mesh order) MAXIMIZING the
     shard count that divides N.  The head matrices enter the wrappers
@@ -159,6 +145,20 @@ def _head_matmul(h, w, vd: bool):
     return jnp.einsum(spec, h, w, preferred_element_type=jnp.float32)
 
 
+def _t_head_matmul(ht, wt, v: int):
+    """Teacher logits [N, v] for the XLA arm.  ``wt`` is the dense
+    [Dt, Vt] head or the int8 (kernel_q, kernel_scale) pair — the
+    per-vocab-column scale factors out of the dot exactly, so the pair
+    form computes ``(h @ q) * scale`` with no dense head copy (the chip
+    holds only the replicated int8 head: half the bf16 bytes)."""
+    if isinstance(wt, tuple):
+        wq, wsc = wt
+        t = jnp.einsum("nd,dv->nv", ht, wq[:, :v].astype(ht.dtype),
+                       preferred_element_type=jnp.float32)
+        return t * wsc.reshape(-1)[:v]
+    return _head_matmul(ht, wt[:, :v], False)
+
+
 def _ce_sum_xla(h, w, labels, vd: bool = False):
     logits = _head_matmul(h, w, vd)
     valid = labels != IGNORE_INDEX
@@ -171,7 +171,7 @@ def _ce_sum_xla(h, w, labels, vd: bool = False):
 def _kl_sum_xla(hs, ws, ht, wt, temperature, vd: bool = False):
     v = ws.shape[0] if vd else ws.shape[1]
     s = _head_matmul(hs, ws, vd) / temperature
-    t = _head_matmul(ht, wt[:, :v], False) / temperature
+    t = _t_head_matmul(ht, wt, v) / temperature
     log_ps = jax.nn.log_softmax(s, axis=-1)
     log_pt = jax.nn.log_softmax(t, axis=-1)
     pt = jnp.exp(log_pt)
@@ -182,7 +182,7 @@ def _loca_sum_xla(hs, ws, ht, wt, labels, temperature, alpha, eps,
                   vd: bool = False):
     v = ws.shape[0] if vd else ws.shape[1]
     s = _head_matmul(hs, ws, vd) / temperature
-    t = _head_matmul(ht, wt[:, :v], False) / temperature
+    t = _t_head_matmul(ht, wt, v) / temperature
     p_t = jax.nn.softmax(t, axis=-1)
     p_s = jax.nn.softmax(s, axis=-1)
     log_ps = jnp.log(jnp.clip(p_s, eps, None))
@@ -209,10 +209,17 @@ def _sharded_sums(local_fn, row_args, rep_args, axes, mesh, n_out: int):
     for a in row_args:
         row_spec.append(P(axes if axes else None,
                           *([None] * (a.ndim - 1))))
-    rep_spec = [P(*([None] * a.ndim)) for a in rep_args]
+    # a rep entry may be the int8 (kernel_q, kernel_scale) teacher-head
+    # pair: flatten to plain-array operands for shard_map and rebuild
+    # inside the body (each chip then holds the replicated int8 head —
+    # half the bf16 bytes — and the local arm dequantizes per block)
+    rep_flat, rep_def = jax.tree_util.tree_flatten(tuple(rep_args))
+    rep_spec = [P(*([None] * a.ndim)) for a in rep_flat]
 
     def body(*args):
-        outs = local_fn(*args)
+        rows = args[:len(row_args)]
+        reps = jax.tree_util.tree_unflatten(rep_def, args[len(row_args):])
+        outs = local_fn(*rows, *reps)
         if n_out == 1:
             outs = (outs,)
         if axes:
@@ -226,7 +233,7 @@ def _sharded_sums(local_fn, row_args, rep_args, axes, mesh, n_out: int):
         out_specs=tuple(P() for _ in range(n_out)),
         check_vma=False,
     )
-    outs = fn(*row_args, *rep_args)
+    outs = fn(*row_args, *rep_flat)
     return outs[0] if n_out == 1 else outs
 
 
@@ -285,7 +292,6 @@ def fused_kl_loss_spmd(
             temperature=temperature, student_head_layout=student_head_layout,
             teacher_logits=tmode,
         )
-    teacher_head = _dense_teacher_head(teacher_head, teacher_hidden.dtype)
     axes = _row_axes(mesh, n)
 
     def local(hs, ht, ws, wt):
@@ -331,7 +337,6 @@ def fused_loca_loss_spmd(
             student_hidden, student_head, teacher_hidden, teacher_head,
             labels, temperature=temperature, alpha=alpha, eps=eps,
         )
-    teacher_head = _dense_teacher_head(teacher_head, teacher_hidden.dtype)
     axes = _row_axes(mesh, n)
 
     def local(hs, ht, lab, ws, wt):
@@ -399,7 +404,6 @@ def fused_loca_ce_loss_spmd(
             eps=eps, student_head_layout=student_head_layout,
             teacher_logits=tmode,
         )
-    teacher_head = _dense_teacher_head(teacher_head, teacher_hidden.dtype)
     axes = _row_axes(mesh, n)
 
     def local(hs, ht, lab, labce, ws, wt):

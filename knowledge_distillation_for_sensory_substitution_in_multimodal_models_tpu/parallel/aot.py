@@ -102,6 +102,7 @@ def build_kd_step_for_aot(
     accum: int = 2,
     orig: Tuple[int, int] = (530, 730),
     teacher_quant: str = "none",
+    teacher_embed_quant: str = "none",
     param_dtype=jnp.bfloat16,
     attn_impl: str = "xla_chunked",
     fused_local_impl: str = "xla",
@@ -142,6 +143,10 @@ def build_kd_step_for_aot(
         # mesh program: GSPMD cannot partition the Pallas int8 kernel
         lm_quant="int8_xla" if quant else "none",
         vision_quant="int8_xla" if teacher_quant == "int8_full" else "none",
+        # int8 token embedding; the int8 lm_head rides the loss wrappers
+        # as a (kernel_q, kernel_scale) pair (ops/fused_spmd.py) — each
+        # chip holds the replicated head at half the bf16 bytes
+        embed_quant=teacher_embed_quant,
     )
 
     batch_np = synthetic_kd_batch(
@@ -196,7 +201,8 @@ def build_kd_step_for_aot(
 
         tparams = jax.eval_shape(
             lambda p: quantize_lm_params_int8(
-                p, include_vision=teacher_quant == "int8_full"
+                p, include_vision=teacher_quant == "int8_full",
+                include_embed_head=teacher_embed_quant == "int8",
             ),
             tparams,
         )

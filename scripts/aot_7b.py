@@ -35,6 +35,11 @@ def main() -> None:
                     default="int8_full",
                     help="teacher quantization (int8_full is the product "
                     "configuration exercised by dryrun_multichip)")
+    ap.add_argument("--embed_quant", choices=["none", "int8"],
+                    default="none",
+                    help="int8: per-row int8 teacher token embedding + "
+                    "int8 lm_head streamed through the loss wrappers "
+                    "(measured -0.90 GiB/chip at 2 layers on (1,2,4))")
     ap.add_argument("--seq_len", type=int, default=3072)
     ap.add_argument("--accum", type=int, default=2)
     ap.add_argument("--per_dp_batch", type=int, default=1)
@@ -71,6 +76,7 @@ def main() -> None:
         scfg, tcfg, mesh_cfg,
         seq_len=args.seq_len, per_dp_batch=args.per_dp_batch,
         accum=args.accum, teacher_quant=args.quant,
+        teacher_embed_quant=args.embed_quant,
     )
     dt = time.time() - t0
 
@@ -121,13 +127,15 @@ def main() -> None:
         )
         tp = jax.eval_shape(
             lambda p: quantize_lm_params_int8(
-                p, include_vision=args.quant == "int8_full"), tp)
+                p, include_vision=args.quant == "int8_full",
+                include_embed_head=args.embed_quant == "int8"), tp)
 
     gib = 1 << 30
     out = {
         "mesh": {"data": d, "fsdp": f, "tensor": t},
         "layers": args.layers or "full",
         "teacher_quant": args.quant,
+        "teacher_embed_quant": args.embed_quant,
         "seq_len": args.seq_len,
         "global_batch": args.per_dp_batch * d * f,
         "accum": args.accum,

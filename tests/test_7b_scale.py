@@ -143,3 +143,28 @@ def test_7b_width_exact_aot_compile_fits_hbm():
     assert stats["per_chip_hbm_estimate"] < 8 * GIB, stats
     # compiled program exists and reports per-device stats
     assert stats["temp_bytes"] > 0
+
+
+def test_7b_width_exact_aot_compile_int8_embed_head():
+    """Same AOT compile with the fully-quantized teacher (projections +
+    vision + int8 embedding + int8 lm_head streamed through the loss
+    wrappers as a (kernel_q, kernel_scale) pair).  Must compile — the
+    QEmbed gather and the tuple-through-shard_map plumbing partition at
+    true dims — and shrink the argument bytes vs the int8_full teacher
+    (the 7B embed+head pair is ~2.2 GB bf16 global; int8 halves it)."""
+    scfg, tcfg = teacher_7b_student_05b(layers=2)
+    _, stats = aot_compile_kd_step(
+        scfg, tcfg, MeshConfig(1, 2, 4),
+        seq_len=3072, per_dp_batch=1, accum=2, teacher_quant="int8_full",
+    )
+    _, stats_eh = aot_compile_kd_step(
+        scfg, tcfg, MeshConfig(1, 2, 4),
+        seq_len=3072, per_dp_batch=1, accum=2, teacher_quant="int8_full",
+        teacher_embed_quant="int8",
+    )
+    assert stats_eh["per_chip_hbm_estimate"] < 8 * GIB, stats_eh
+    # sharded embed+head args halve (~0.13 GiB/chip) and the per-chip
+    # replicated-head temp halves (~0.77 GiB/chip of temps at 2 layers);
+    # measured 5.42 -> 4.52 GiB/chip on the (1,2,4) mesh
+    assert (stats["per_chip_hbm_estimate"]
+            - stats_eh["per_chip_hbm_estimate"] > 0.5 * GIB), (stats, stats_eh)

@@ -342,3 +342,55 @@ def test_mesh_dispatch_tmat_knob(monkeypatch):
                                    local_impl="pallas")
         fs.fused_kl_loss_spmd(hs, ws, ht, wt, local_impl="pallas")
     assert seen == {"loca_ce": "materialize", "kl": "materialize"}
+
+
+def test_fused_spmd_int8_teacher_head_streams_through_mesh():
+    """The int8 (kernel_q, kernel_scale) teacher head rides shard_map as
+    two replicated operands (each chip holds only the int8 bytes — half
+    the bf16 head) and the per-shard arm computes (h @ q) * scale; values
+    and grads must equal the same wrapper fed the dense dequantized head
+    (exact at f32: the per-column scale factors out of the dot)."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_spmd import (
+        fused_loca_ce_loss_spmd,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
+        absmax_quantize_weight,
+    )
+
+    hs, ht, ws, wt_f, labels = _data(11)
+    rng = np.random.default_rng(13)
+    ce_labels = rng.integers(0, V, size=(N,)).astype(np.int32)
+    ce_labels[-6:] = -100
+    ce_labels = jnp.asarray(ce_labels)
+    wq, wsc = absmax_quantize_weight(wt_f)
+    wt_dense = wq.astype(jnp.float32) * wsc[None, :]
+    mesh = make_mesh(MeshConfig(2, 2, 2))
+
+    def make(head):
+        def f(h, w):
+            loca, ce = fused_loca_ce_loss_spmd(
+                h, w, ht, head, labels, ce_labels, temperature=0.8,
+                alpha=0.8, local_impl="xla",
+            )
+            return 0.8 * loca + ce
+        return f
+
+    def make_kl(head):
+        def f(h, w):
+            return fused_kl_loss_spmd(h, w, ht, head, temperature=0.8,
+                                      local_impl="xla")
+        return f
+
+    # both forms under the SAME mesh (a no-mesh reference would dispatch
+    # to the single-device Pallas kernels, which can't run on CPU)
+    for mk in (make, make_kl):
+        with jax.set_mesh(mesh):
+            got = jax.jit(mk((wq, wsc)))(hs, ws)
+            want = jax.jit(mk(wt_dense))(hs, ws)
+            g_q = jax.jit(jax.grad(mk((wq, wsc)), argnums=(0, 1)))(hs, ws)
+            g_d = jax.jit(jax.grad(mk(wt_dense), argnums=(0, 1)))(hs, ws)
+        np.testing.assert_allclose(float(got), float(want),
+                                   rtol=1e-6, atol=1e-8)
+        for a, b in zip(g_q, g_d):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, rtol=1e-5)
