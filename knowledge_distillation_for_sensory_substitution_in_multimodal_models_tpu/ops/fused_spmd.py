@@ -153,9 +153,14 @@ def _t_head_matmul(ht, wt, v: int):
     holds only the replicated int8 head: half the bf16 bytes)."""
     if isinstance(wt, tuple):
         wq, wsc = wt
-        t = jnp.einsum("nd,dv->nv", ht, wq[:, :v].astype(ht.dtype),
+        # full-width dot, then slice the LOGITS: slicing the operand
+        # (wq[:, :v]) materializes a near-full int8 head copy per chip
+        # (+0.5 GiB at 7B dims in the AOT budget); the extra Vt - v
+        # columns are 0.1% of the FLOPs and the convert fuses into the
+        # dot's operand load
+        t = jnp.einsum("nd,dv->nv", ht, wq.astype(ht.dtype),
                        preferred_element_type=jnp.float32)
-        return t * wsc.reshape(-1)[:v]
+        return t[:, :v] * wsc.reshape(-1)[:v]
     return _head_matmul(ht, wt[:, :v], False)
 
 
