@@ -257,8 +257,11 @@ def bench_train(args, mode: str) -> dict:
     # Student remat granularity: "dots" saves the projection outputs so
     # backward recomputes only elementwise/attention work (the teacher has
     # no backward, so its remat never recomputes — keep it "full").
+    vattn = (None if getattr(args, "vision_attn", "auto") == "auto"
+             else args.vision_attn)
     student = LlavaOnevision(scfg, dtype=dtype, remat=remat,
                              remat_vision=remat_vision, attn_impl=attn_impl,
+                             vision_attn_impl=vattn,
                              remat_policy=args.remat_policy)
     batch = synthetic_kd_batch(
         scfg, batch_size=args.batch, seq_len=seq_len,
@@ -287,7 +290,7 @@ def bench_train(args, mode: str) -> dict:
                 "int8/int8_full (quantize_lm_params_int8 drives both)")
         teacher = LlavaOnevision(
             tcfg, dtype=dtype, remat=remat, remat_vision=remat_vision,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, vision_attn_impl=vattn,
             lm_quant=quant_impl(gspmd=mesh is not None)
             if tq in ("int8", "int8_full") else "none",
             vision_quant=quant_impl(gspmd=mesh is not None)
@@ -616,6 +619,14 @@ def main() -> None:
                     help="generation mode only: serve the student with "
                     "w8a8 LM matmuls (decode at batch 1 is weight-"
                     "bandwidth-bound; int8 halves the bytes)")
+    ap.add_argument("--vision_attn",
+                    choices=["auto", "pallas", "xla", "xla_chunked"],
+                    default="auto",
+                    help="vision-tower attention impl override (train "
+                    "modes); auto follows the LM impl. The tower is "
+                    "non-causal S=729/d=72 where flash pads d to 128 "
+                    "lanes — 'xla' materializes the small [T,768,768] "
+                    "probs instead (A/B, see PERF_NOTES)")
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="capture a jax.profiler trace of the timed steps")
     ap.add_argument("--xla_opt", action="append", default=[],

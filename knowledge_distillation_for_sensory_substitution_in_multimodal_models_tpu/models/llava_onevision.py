@@ -69,6 +69,12 @@ class LlavaOnevision(nn.Module):
     # backward, so its remat never recomputes anything.
     remat_policy: str = "full"
     attn_impl: str = "xla"  # "pallas" = flash-attention kernels
+    # Vision-tower attention override; None follows attn_impl.  The tower
+    # runs non-causal attention at S=729/d=72, where the flash kernel pads
+    # d to 128 lanes (+78% MXU columns) while the full [T, 768, 768] probs
+    # are small — "xla" is a measured A/B against the padded kernel
+    # (profile: vision attention = 31 ms of the 308 ms KD step).
+    vision_attn_impl: Optional[str] = None
     # "int8": w8a8 LM decoder-block projections (frozen-teacher inference
     # path; params via ops.int8.quantize_lm_params_int8).  Projector and
     # norms stay bf16 — see ops/int8.py.
@@ -86,7 +92,8 @@ class LlavaOnevision(nn.Module):
         self.vision_tower = SigLIPVisionTower(
             c.vision, self.dtype, remat=self.remat and self.remat_vision,
             remat_policy=self.remat_policy,
-            attn_impl=self.attn_impl, quant=self.vision_quant,
+            attn_impl=self.vision_attn_impl or self.attn_impl,
+            quant=self.vision_quant,
             name="vision_tower"
         )
         self.multi_modal_projector = MultiModalProjector(c, self.dtype, name="multi_modal_projector")

@@ -201,3 +201,30 @@ def test_adamw_step_matches_torch():
         params = optax.apply_updates(params, updates)
     np.testing.assert_allclose(np.asarray(params["w"]), want,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_vision_attn_impl_override_parity(setup):
+    """`vision_attn_impl` swaps only the tower's attention math: logits
+    from the xla_chunked vision arm must match the default (xla) arm on
+    identical params.  The knob exists because the flash kernel pads the
+    tower's d=72 to 128 lanes (bench --vision_attn; PERF_NOTES r3)."""
+    student, _, sparams, _, batch = setup
+    micro = jax.tree.map(lambda x: x[0], batch)
+    kwargs = dict(
+        input_ids=micro["student_input_ids"],
+        attention_mask=micro["student_attention_mask"],
+        pixel_values=micro["student_pixel_values"],
+        pack_idx=micro["pack_idx"],
+        pack_weight=micro["pack_weight"],
+        pack_valid=micro["pack_valid"],
+        tile_valid=micro["tile_valid"],
+    )
+    base_logits, base_vis, _ = student.apply({"params": sparams}, **kwargs)
+    alt_model = LlavaOnevision(SCFG, vision_attn_impl="xla_chunked")
+    alt_logits, alt_vis, _ = alt_model.apply({"params": sparams}, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(base_logits, np.float32),
+        np.asarray(alt_logits, np.float32), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(base_vis, np.float32),
+        np.asarray(alt_vis, np.float32), rtol=2e-4, atol=2e-4)
