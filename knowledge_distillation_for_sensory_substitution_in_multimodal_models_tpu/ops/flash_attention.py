@@ -37,6 +37,30 @@ from ..parallel.mesh import active_abstract_mesh as _abstract_mesh
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def _scaled(s: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """``s * scale`` unless scale is statically 1.0 (prescaled q): the
+    multiply is a full f32 VPU pass over every visited [rows, bk] score
+    block, 16x the work of scaling q's [rows, d] once in the wrapper
+    (KDSS_FLASH_PRESCALE)."""
+    return s if scale == 1.0 else s * scale
+
+
+def _maybe_prescale(q: jnp.ndarray, scale: float):
+    """KDSS_FLASH_PRESCALE=1: fold the softmax scale into q once ([*, d]
+    work, outside the custom_vjp so autodiff chains dq = scale * dq_kernel
+    automatically) and run the kernels with scale == 1.0, which statically
+    drops the per-block ``s * scale`` pass in fwd/dq/dkv and the ``* scale``
+    in both ds chains.  Opt-in: bf16 re-rounding of q*scale perturbs logits
+    by ~2^-9 relative, which moves the canonical bench loss trace.  Read at
+    trace time so tests can toggle per-call."""
+    import os as _os
+
+    if scale != 1.0 and _os.environ.get("KDSS_FLASH_PRESCALE", "0") == "1":
+        q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        scale = 1.0
+    return q, scale
+
+
 def _block_mask(
     s: jnp.ndarray,
     *,
@@ -71,20 +95,21 @@ def _fwd_kernel(
         m_ref[:] = jnp.full_like(m_ref, MASK_VALUE)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    def compute():
+    def compute(masked):
         # keep matmul operands in their storage dtype (bf16): the MXU
         # accumulates in f32 via preferred_element_type; upcasting operands
         # forces f32 MXU passes at a fraction of the bf16 rate
         q = q_ref[0, 0]  # [bq, d]
         k = k_ref[0, 0]  # [bk, d]
         v = v_ref[0, 0]  # [bk, d]
-        s = jax.lax.dot_general(
+        s = _scaled(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bq, bk] f32
-        kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None  # [1, bk]
-        s = _block_mask(
-            s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
-        )
+        ), scale)  # [bq, bk] f32
+        if masked:
+            kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+            s = _block_mask(
+                s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
+            )
 
         m_prev = m_ref[:, 0:1]  # [bq, 1]
         l_prev = l_ref[:, 0:1]
@@ -96,8 +121,10 @@ def _fwd_kernel(
         # row explicitly so l stays 0 and the finalize guard emits out=0 /
         # lse=MASK_VALUE (and backward, guarded on lse below, emits zero
         # grads).  Rows with any valid column are unaffected: their masked
-        # columns underflow to 0 since m_new >> MASK_VALUE.
-        p = jnp.where(m_new > MASK_VALUE * 0.5, p, 0.0)
+        # columns underflow to 0 since m_new >> MASK_VALUE.  Clean blocks
+        # skip the select (numeric no-op there, full VPU pass if emitted).
+        if masked:
+            p = jnp.where(m_new > MASK_VALUE * 0.5, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -107,13 +134,10 @@ def _fwd_kernel(
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
-    if causal:
-        # Skip blocks strictly above the diagonal.
-        @pl.when(iq * bq + bq - 1 >= ik * bk)
-        def _():
-            compute()
-    else:
-        compute()
+    # clean/masked dispatch (shared with the GQA kernels): interior
+    # causal blocks with clean kv skip every masking pass.
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
 
     @pl.when(ik == n_kv - 1)
     def _finalize():
@@ -138,37 +162,36 @@ def _dq_kernel(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def compute():
+    def compute(masked):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         lse = lse_ref[0, 0][:, 0:1]
         delta = delta_ref[0, 0][:, 0:1]
-        s = jax.lax.dot_general(
+        s = _scaled(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
-        s = _block_mask(
-            s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
-        )
+        ), scale)
+        if masked:
+            kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+            s = _block_mask(
+                s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
+            )
         p = jnp.exp(s - lse)
-        # zero grads for fully-masked rows (fwd stored lse=MASK_VALUE)
-        p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
+        # fully-masked rows (lse == MASK_VALUE) cannot appear in a clean
+        # block's rows — skip the full-block select there
+        if masked:
+            p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = (p * (dp - delta) * scale).astype(k.dtype)
+        ds = _scaled(p * (dp - delta), scale).astype(k.dtype)
         acc_ref[:] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    if causal:
-        @pl.when(iq * bq + bq - 1 >= ik * bk)
-        def _():
-            compute()
-    else:
-        compute()
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
 
     @pl.when(ik == n_kv - 1)
     def _write():
@@ -188,23 +211,26 @@ def _dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    def compute():
+    def compute(masked):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         lse = lse_ref[0, 0][:, 0:1]
         delta = delta_ref[0, 0][:, 0:1]
-        s = jax.lax.dot_general(
+        s = _scaled(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
-        s = _block_mask(
-            s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
-        )
+        ), scale)
+        if masked:
+            kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+            s = _block_mask(
+                s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
+            )
         p = jnp.exp(s - lse)  # [bq, bk] f32
-        # zero grads for fully-masked rows (fwd stored lse=MASK_VALUE)
-        p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
+        # fully-masked rows (lse == MASK_VALUE) cannot appear in a clean
+        # block's rows — skip the full-block select there
+        if masked:
+            p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
         p_lo = p.astype(do.dtype)
         dv_acc[:] += jax.lax.dot_general(
             p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -212,17 +238,13 @@ def _dkv_kernel(
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        ds = _scaled(p * (dp - delta), scale).astype(q.dtype)
         dk_acc[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # ds^T @ q -> [bk, d]
 
-    if causal:
-        @pl.when(iq * bq + bq - 1 >= ik * bk)
-        def _():
-            compute()
-    else:
-        compute()
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
 
     @pl.when(iq == n_q - 1)
     def _write():
@@ -498,6 +520,7 @@ def flash_attention(
     _, skv, hkv, _ = k.shape
     if scale is None:
         scale = d**-0.5
+    q, scale = _maybe_prescale(q, scale)
 
     kv_mask = None
     if mask is not None:
@@ -713,9 +736,9 @@ def _gqa_fwd_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
         q = q_ref[0, 0].reshape(g * bq, q_ref.shape[-1])
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        s = jax.lax.dot_general(
+        s = _scaled(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ), scale)
         if masked:
             kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
             s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
@@ -724,12 +747,16 @@ def _gqa_fwd_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         # Fully-masked rows: every column sits at MASK_VALUE, so m_new ==
-        # MASK_VALUE and exp(s - m_new) == 1 per column — NOT 0.  Zero the
-        # row explicitly so l stays 0 and the finalize guard emits out=0 /
-        # lse=MASK_VALUE (and backward, guarded on lse below, emits zero
-        # grads).  Rows with any valid column are unaffected: their masked
-        # columns underflow to 0 since m_new >> MASK_VALUE.
-        p = jnp.where(m_new > MASK_VALUE * 0.5, p, 0.0)
+        # m_prev == MASK_VALUE and exp(s - m_new) == 1 per column — NOT 0.
+        # Zero the row explicitly so l stays 0 and the finalize guard emits
+        # out=0 / lse=MASK_VALUE (and backward, guarded on lse below, emits
+        # zero grads).  Rows with any valid column are unaffected: their
+        # masked columns underflow to 0 since m_new >> MASK_VALUE.  Clean
+        # blocks skip the select: every column is real there, so m_new is
+        # always far above the threshold and the where is a numeric no-op —
+        # but a full [rows, bk] f32 VPU pass if emitted.
+        if masked:
+            p = jnp.where(m_new > MASK_VALUE * 0.5, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = jnp.broadcast_to(
             l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True),
@@ -774,20 +801,22 @@ def _gqa_dq_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
         do = do_ref[0, 0].reshape(g * bq, d)
         lse = lse_ref[0, 0].reshape(g * bq, 128)[:, 0:1]
         delta = delta_ref[0, 0].reshape(g * bq, 128)[:, 0:1]
-        s = jax.lax.dot_general(
+        s = _scaled(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ), scale)
         if masked:
             kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
             s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
                           kv_mask_blk=kvm)
         p = jnp.exp(s - lse)
-        # zero grads for fully-masked rows (fwd stored lse=MASK_VALUE)
-        p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
+        # fully-masked rows (lse == MASK_VALUE) cannot appear in a
+        # clean block's rows — skip the full-block select there
+        if masked:
+            p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = (p * (dp - delta) * scale).astype(k.dtype)
+        ds = _scaled(p * (dp - delta), scale).astype(k.dtype)
         acc_ref[:] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -819,16 +848,18 @@ def _gqa_dkv_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
         do = do_ref[0, 0].reshape(g * bq, d)
         lse = lse_ref[0, 0].reshape(g * bq, 128)[:, 0:1]
         delta = delta_ref[0, 0].reshape(g * bq, 128)[:, 0:1]
-        s = jax.lax.dot_general(
+        s = _scaled(jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ), scale)
         if masked:
             kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
             s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
                           kv_mask_blk=kvm)
         p = jnp.exp(s - lse)
-        # zero grads for fully-masked rows (fwd stored lse=MASK_VALUE)
-        p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
+        # fully-masked rows (lse == MASK_VALUE) cannot appear in a
+        # clean block's rows — skip the full-block select there
+        if masked:
+            p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
         # p^T @ do sums over ALL group rows: the GQA dk/dv reduction is free
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -837,7 +868,7 @@ def _gqa_dkv_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        ds = _scaled(p * (dp - delta), scale).astype(q.dtype)
         dk_acc[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -1096,6 +1127,7 @@ def flash_attention_gqa(
     group = hq // hkv
     if scale is None:
         scale = d**-0.5
+    q, scale = _maybe_prescale(q, scale)
 
     kv_mask = None
     if mask is not None:

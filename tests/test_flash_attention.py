@@ -236,3 +236,32 @@ def test_fully_masked_sample_zero_output_and_grads(hq, hkv):
     np.testing.assert_allclose(
         np.asarray(out)[0], np.asarray(ref)[0], atol=2e-5, rtol=2e-5
     )
+
+
+@pytest.mark.parametrize("fn", [flash_attention, flash_attention_gqa])
+def test_prescale_matches_default(fn, monkeypatch):
+    """KDSS_FLASH_PRESCALE folds the softmax scale into q and runs the
+    kernels with scale==1.0 (statically dropping the per-block ``s*scale``
+    and ``ds*scale`` VPU passes); values and grads must match the default
+    in-kernel scaling."""
+    b, sq, skv, hq, hkv, d = 1, 256, 256, 4, 2, 64
+    q, k, v = _mk(b, sq, skv, hq, hkv, d, seed=7)
+    m = np.ones((b, skv), dtype=bool)
+    m[:, -17:] = False
+    mask = jnp.asarray(m)
+
+    def loss(q_, k_, v_):
+        o = fn(q_, k_, v_, mask=mask, causal=True)
+        return (o * jnp.cos(o)).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        o_base = fn(q, k, v, mask=mask, causal=True)
+        monkeypatch.setenv("KDSS_FLASH_PRESCALE", "1")
+        pre = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        o_pre = fn(q, k, v, mask=mask, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(o_pre), np.asarray(o_base), atol=5e-4, rtol=5e-4)
+    for a, b_ in zip(base, pre):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), atol=5e-4, rtol=5e-4)
