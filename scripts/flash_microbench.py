@@ -63,20 +63,30 @@ def main():
     opts = (None if args.stock_blocks
             else {"xla_tpu_scoped_vmem_limit_kib": "98304"})
 
-    @lambda f: jax.jit(f, compiler_options=opts)
-    def chain(q, k, v):
-        def body(c, _):
-            o = one_pass(c, k, v)
-            # feed output back as q (prevents CSE; keeps shapes)
-            return o.astype(c.dtype) * 1e-3, None
-        out, _ = jax.lax.scan(body, q, None, length=args.iters)
-        return out[0, 0, 0, 0]
+    def make_chain(length):
+        @lambda f: jax.jit(f, compiler_options=opts)
+        def chain(q, k, v):
+            def body(c, _):
+                o = one_pass(c, k, v)
+                # feed output back as q (prevents CSE; keeps shapes)
+                return o.astype(c.dtype) * 1e-3, None
+            out, _ = jax.lax.scan(body, q, None, length=length)
+            return out[0, 0, 0, 0]
+        return chain
 
-    r = chain(q, k, v)
-    jax.device_get(r)  # compile + warm
+    # Marginal rate between two chain lengths: a single chain call carries
+    # ~30 ms of tunnel launch/RTT overhead, which at 50 iters inflates the
+    # per-pass figure by ~0.6 ms (verified against a device-event profile:
+    # wall said 1.335 ms/pass where the kernel ran 0.76 ms).  The length
+    # difference cancels the fixed cost.
+    short, long_ = make_chain(args.iters), make_chain(3 * args.iters)
+    jax.device_get(short(q, k, v))  # compile + warm
+    jax.device_get(long_(q, k, v))
     t0 = time.time()
-    jax.device_get(chain(q, k, v))
-    dt = (time.time() - t0) / args.iters
+    jax.device_get(short(q, k, v))
+    t1 = time.time()
+    jax.device_get(long_(q, k, v))
+    dt = ((time.time() - t1) - (t1 - t0)) / (2 * args.iters)
     # per-pass attention FLOPs (causal halves the score space)
     fl = 2 * 2 * 0.5 * s * s * (h * d)
     if args.bwd:
