@@ -46,16 +46,18 @@ def _scaled(s: jnp.ndarray, scale: float) -> jnp.ndarray:
 
 
 def _maybe_prescale(q: jnp.ndarray, scale: float):
-    """KDSS_FLASH_PRESCALE=1: fold the softmax scale into q once ([*, d]
-    work, outside the custom_vjp so autodiff chains dq = scale * dq_kernel
-    automatically) and run the kernels with scale == 1.0, which statically
-    drops the per-block ``s * scale`` pass in fwd/dq/dkv and the ``* scale``
-    in both ds chains.  Opt-in: bf16 re-rounding of q*scale perturbs logits
-    by ~2^-9 relative, which moves the canonical bench loss trace.  Read at
-    trace time so tests can toggle per-call."""
+    """Fold the softmax scale into q once ([*, d] work, outside the
+    custom_vjp so autodiff chains dq = scale * dq_kernel automatically) and
+    run the kernels with scale == 1.0, which statically drops the per-block
+    ``s * scale`` pass in fwd/dq/dkv and the ``* scale`` in both ds chains.
+    Default ON (+4.4% fwd kernel, +0.7% KD step measured): bf16
+    re-rounding of q*scale perturbs logits by ~2^-9 relative — the bench
+    loss trace moved by 1 digit in the 5th decimal at one step.
+    KDSS_FLASH_PRESCALE=0 restores in-kernel scaling.  Read at trace time
+    so tests can toggle per-call."""
     import os as _os
 
-    if scale != 1.0 and _os.environ.get("KDSS_FLASH_PRESCALE", "0") == "1":
+    if scale != 1.0 and _os.environ.get("KDSS_FLASH_PRESCALE", "1") == "1":
         q = (q.astype(jnp.float32) * scale).astype(q.dtype)
         scale = 1.0
     return q, scale

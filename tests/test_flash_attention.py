@@ -255,6 +255,7 @@ def test_prescale_matches_default(fn, monkeypatch):
         return (o * jnp.cos(o)).sum()
 
     with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("KDSS_FLASH_PRESCALE", "0")
         base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
         o_base = fn(q, k, v, mask=mask, causal=True)
         monkeypatch.setenv("KDSS_FLASH_PRESCALE", "1")
