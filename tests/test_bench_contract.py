@@ -34,7 +34,11 @@ def test_bench_suite_json():
 
 
 def test_bench_quant_flags_json():
+    # auto embed-quant resolves to int8 for any int8 teacher (r3 default)
     j = _run(["--mode", "kd", "--teacher_quant", "int8"])
+    assert "(int8+eh)" in j["metric"] and j["value"] > 0
+    j = _run(["--mode", "kd", "--teacher_quant", "int8",
+              "--teacher_embed_quant", "none"])
     assert "(int8)" in j["metric"] and j["value"] > 0
     g = _run(["--mode", "generation", "--student_quant", "int8"])
     assert g["unit"] == "tok/s" and g["value"] > 0
