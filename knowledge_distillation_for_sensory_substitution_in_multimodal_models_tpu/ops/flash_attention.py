@@ -786,6 +786,111 @@ def _gqa_fwd_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
                 lse, (g * bq, 128)).reshape(g, bq, 128)
 
 
+def _gqa_fwd_kernel_ilp(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
+                        acc_ref, m_ref, l_ref, acc2_ref, m2_ref, l2_ref,
+                        *, causal, scale, g, bq, bk, n_kv):
+    """Two-chain ILP variant of ``_gqa_fwd_kernel`` (KDSS_FLASH_ILP=1,
+    bk % 256 == 0).  MEASURED DEAD END — kept opt-in as the record.
+
+    Each [rows, bk] kv block is split into two bk/2 halves carrying fully
+    independent (m, l, acc) softmax chains — written manually interleaved
+    so the Mosaic scheduler could overlap the dependent VPU chains — and
+    merged once at finalize with the standard two-way online-softmax
+    merge.  Hardware result (production shapes, marginal-rate microbench):
+    0.762 -> 1.031 ms/pass, a 26% REGRESSION.  Mosaic does not interleave
+    the chains, and splitting the single [rows, bk] p@v MXU matmul into
+    two [rows, bk/2] halves costs more than chain independence buys.
+    This falsifies the r3 "dependency-limited" hypothesis: at these block
+    sizes ([7168, 1024]) every VPU op has millions of elements of intra-op
+    parallelism, so op-boundary dependencies are negligible — the kernel
+    floor is exp/reduction *throughput*, not latency (docs/PERF_NOTES.md
+    round-3 session-6).
+    """
+    iq, ik = pl.program_id(2), pl.program_id(3)
+    bh = bk // 2
+
+    @pl.when(ik == 0)
+    def _():
+        for a_, mm_, ll_ in ((acc_ref, m_ref, l_ref),
+                             (acc2_ref, m2_ref, l2_ref)):
+            a_[:] = jnp.zeros_like(a_)
+            mm_[:] = jnp.full_like(mm_, MASK_VALUE)
+            ll_[:] = jnp.zeros_like(ll_)
+
+    def compute(masked):
+        q = q_ref[0, 0].reshape(g * bq, q_ref.shape[-1])
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        # One [rows, bk] MXU matmul feeds both chains.
+        s = _scaled(jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ), scale)
+        s1, s2 = s[:, :bh], s[:, bh:]
+        if masked:
+            kvm1 = kvm2 = None
+            if kvm_ref is not None:
+                kvm1 = kvm_ref[0, 0:1, :bh] != 0
+                kvm2 = kvm_ref[0, 0:1, bh:] != 0
+            s1 = _gqa_mask(s1, causal=causal, iq=iq, ik=2 * ik, g=g,
+                           bq=bq, bk=bh, kv_mask_blk=kvm1)
+            s2 = _gqa_mask(s2, causal=causal, iq=iq, ik=2 * ik + 1, g=g,
+                           bq=bq, bk=bh, kv_mask_blk=kvm2)
+        # Interleaved independent chains (suffix 1 / 2).
+        m1_prev = m_ref[:, 0:1]
+        m2_prev = m2_ref[:, 0:1]
+        m1_new = jnp.maximum(m1_prev, jnp.max(s1, axis=1, keepdims=True))
+        m2_new = jnp.maximum(m2_prev, jnp.max(s2, axis=1, keepdims=True))
+        p1 = jnp.exp(s1 - m1_new)
+        p2 = jnp.exp(s2 - m2_new)
+        if masked:  # fully-masked rows: see _gqa_fwd_kernel
+            p1 = jnp.where(m1_new > MASK_VALUE * 0.5, p1, 0.0)
+            p2 = jnp.where(m2_new > MASK_VALUE * 0.5, p2, 0.0)
+        alpha1 = jnp.exp(m1_prev - m1_new)
+        alpha2 = jnp.exp(m2_prev - m2_new)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, 0:1] * alpha1 + jnp.sum(p1, axis=1, keepdims=True),
+            l_ref.shape)
+        l2_ref[:] = jnp.broadcast_to(
+            l2_ref[:, 0:1] * alpha2 + jnp.sum(p2, axis=1, keepdims=True),
+            l2_ref.shape)
+        acc_ref[:] = acc_ref[:] * alpha1 + jax.lax.dot_general(
+            p1.astype(v.dtype), v[:bh], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc2_ref[:] = acc2_ref[:] * alpha2 + jax.lax.dot_general(
+            p2.astype(v.dtype), v[bh:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m1_new, m_ref.shape)
+        m2_ref[:] = jnp.broadcast_to(m2_new, m2_ref.shape)
+
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
+
+    @pl.when(ik == n_kv - 1)
+    def _():
+        m1 = m_ref[:, 0:1]
+        m2 = m2_ref[:, 0:1]
+        m = jnp.maximum(m1, m2)
+        a1 = jnp.exp(m1 - m)
+        a2 = jnp.exp(m2 - m)
+        l = l_ref[:, 0:1] * a1 + l2_ref[:, 0:1] * a2
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        d = o_ref.shape[-1]
+        acc = acc_ref[:] * a1 + acc2_ref[:] * a2
+        o_ref[0, 0] = (acc / l_safe).reshape(g, bq, d).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = jnp.where(l == 0.0, MASK_VALUE, m + jnp.log(l_safe))
+            lse_ref[0, 0] = jnp.broadcast_to(
+                lse, (g * bq, 128)).reshape(g, bq, 128)
+
+
+def _gqa_fwd_ilp_enabled(bk: int) -> bool:
+    """ILP fwd needs two >=128-lane halves; read at trace time (tests
+    toggle per-call, same convention as KDSS_FLASH_PRESCALE)."""
+    import os as _os
+
+    return bk % 256 == 0 and _os.environ.get("KDSS_FLASH_ILP", "0") == "1"
+
+
 def _gqa_dq_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, acc_ref,
                    *, causal, scale, g, bq, bk, n_kv):
@@ -954,8 +1059,10 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
     lspec = pl.BlockSpec((1, 1, g, bq, 128),
                          lambda b_, h, i, j: (b_, h, 0, i, 0),
                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(_gqa_fwd_kernel, causal=causal, scale=scale,
-                               g=g, bq=bq, bk=bk, n_kv=n_kv)
+    ilp = _gqa_fwd_ilp_enabled(bk)
+    kernel = functools.partial(
+        _gqa_fwd_kernel_ilp if ilp else _gqa_fwd_kernel,
+        causal=causal, scale=scale, g=g, bq=bq, bk=bk, n_kv=n_kv)
     in_specs = [qspec, kspec, kspec]
     inputs = [q, k, v]
     if not with_lse:  # see _flash_fwd_impl: skip the wasted lse write
@@ -980,7 +1087,7 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
             pltpu.VMEM((g * bq, d), jnp.float32),
             pltpu.VMEM((g * bq, 128), jnp.float32),
             pltpu.VMEM((g * bq, 128), jnp.float32),
-        ],
+        ] * (2 if ilp else 1),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),

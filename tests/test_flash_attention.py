@@ -266,3 +266,35 @@ def test_prescale_matches_default(fn, monkeypatch):
     for a, b_ in zip(base, pre):
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a), atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("causal,masked", [(True, True), (True, False),
+                                           (False, True)])
+def test_gqa_ilp_fwd_matches_default(causal, masked, monkeypatch):
+    """KDSS_FLASH_ILP splits each kv block into two independent (m, l, acc)
+    chains merged at finalize; values (and the lse the backward consumes,
+    exercised via grads) must match the sequential single-chain kernel."""
+    b, sq, skv, hq, hkv, d = 2, 256, 256, 4, 2, 64
+    q, k, v = _mk(b, sq, skv, hq, hkv, d, seed=11)
+    mask = None
+    if masked:
+        m = np.ones((b, skv), dtype=bool)
+        m[:, -37:] = False
+        mask = jnp.asarray(m)
+
+    def loss(q_, k_, v_):
+        o = flash_attention_gqa(q_, k_, v_, mask=mask, causal=causal)
+        return (o * jnp.cos(o)).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("KDSS_FLASH_ILP", "0")
+        o_base = flash_attention_gqa(q, k, v, mask=mask, causal=causal)
+        g_base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        monkeypatch.setenv("KDSS_FLASH_ILP", "1")
+        o_ilp = flash_attention_gqa(q, k, v, mask=mask, causal=causal)
+        g_ilp = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(o_ilp), np.asarray(o_base), atol=5e-5, rtol=5e-5)
+    for a, b_ in zip(g_base, g_ilp):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), atol=5e-4, rtol=5e-4)
