@@ -883,12 +883,39 @@ def _gqa_fwd_kernel_ilp(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
                 lse, (g * bq, 128)).reshape(g, bq, 128)
 
 
+_ILP_GATE_WARNED = False
+
+
 def _gqa_fwd_ilp_enabled(bk: int) -> bool:
     """ILP fwd needs two >=128-lane halves; read at trace time (tests
-    toggle per-call, same convention as KDSS_FLASH_PRESCALE)."""
+    toggle per-call, same convention as KDSS_FLASH_PRESCALE — a jitted
+    caller toggling the env var between calls gets the stale kernel from
+    the jit cache; set it before the first traced call).
+
+    VMEM note: the ILP variant roughly doubles fwd scratch (an extra
+    (g*bq, d) f32 acc plus two (g*bq, 128) buffers — ~11 MB at the
+    production 7168-row config); row configs tuned to the default
+    kernel's VMEM budget (KDSS_FLASH_ROWS) may need halving with ILP on.
+    """
     import os as _os
 
-    return bk % 256 == 0 and _os.environ.get("KDSS_FLASH_ILP", "0") == "1"
+    if _os.environ.get("KDSS_FLASH_ILP", "0") != "1":
+        return False
+    if bk % 256 != 0:
+        global _ILP_GATE_WARNED
+        if not _ILP_GATE_WARNED:
+            _ILP_GATE_WARNED = True
+            import warnings
+
+            warnings.warn(
+                f"KDSS_FLASH_ILP=1 set but kv block size bk={bk} is not a "
+                "multiple of 256 — falling back to the default (non-ILP) "
+                "fwd kernel for this and any similarly-blocked call. "
+                "Raise KDSS_FLASH_BK (or skv) to dispatch the ILP variant.",
+                stacklevel=2,
+            )
+        return False
+    return True
 
 
 def _gqa_dq_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,

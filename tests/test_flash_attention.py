@@ -291,6 +291,14 @@ def test_gqa_ilp_fwd_matches_default(causal, masked, monkeypatch):
         o_base = flash_attention_gqa(q, k, v, mask=mask, causal=causal)
         g_base = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
         monkeypatch.setenv("KDSS_FLASH_ILP", "1")
+        # Guard against a vacuous base-vs-base pass: the block picker must
+        # still choose an ILP-eligible bk for this skv, or the env var
+        # silently dispatches the default kernel.
+        from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops import (
+            flash_attention as fa,
+        )
+
+        assert fa._gqa_fwd_ilp_enabled(fa._pick_block_big(skv, fa._GQA_BK))
         o_ilp = flash_attention_gqa(q, k, v, mask=mask, causal=causal)
         g_ilp = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     np.testing.assert_allclose(
@@ -298,3 +306,22 @@ def test_gqa_ilp_fwd_matches_default(causal, masked, monkeypatch):
     for a, b_ in zip(g_base, g_ilp):
         np.testing.assert_allclose(
             np.asarray(b_), np.asarray(a), atol=5e-4, rtol=5e-4)
+
+
+def test_gqa_ilp_gate_warns_on_fallback(monkeypatch):
+    """KDSS_FLASH_ILP=1 with an ineligible block size must warn (once)
+    rather than silently benchmarking the default kernel."""
+    import warnings
+
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops import (
+        flash_attention as fa,
+    )
+
+    monkeypatch.setenv("KDSS_FLASH_ILP", "1")
+    monkeypatch.setattr(fa, "_ILP_GATE_WARNED", False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert not fa._gqa_fwd_ilp_enabled(384)
+        assert not fa._gqa_fwd_ilp_enabled(128)  # one-time: no second warn
+    assert len(w) == 1 and "KDSS_FLASH_ILP" in str(w[0].message)
+    assert fa._gqa_fwd_ilp_enabled(256)
