@@ -242,7 +242,7 @@ def bench_train(args, mode: str) -> dict:
     # otherwise never runs on hardware; the loss trace must match the
     # no-mesh run.
     mesh = None
-    if getattr(args, "mesh", None) and not args.cpu:
+    if getattr(args, "mesh", None):
         from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.parallel import (
             MeshConfig,
             make_mesh,
@@ -250,7 +250,17 @@ def bench_train(args, mode: str) -> dict:
 
         d, f, t = (int(x) for x in args.mesh.split(","))
         mesh = make_mesh(MeshConfig(d, f, t))
-        attn_impl = "pallas_spmd"
+        if args.batch % (d * f) != 0:
+            nb = -(-args.batch // (d * f)) * (d * f)
+            print(f"WARNING: --batch {args.batch} not divisible by "
+                  f"data*fsdp={d * f}; raising to {nb} (batch shards over "
+                  "the data and fsdp axes)", file=sys.stderr)
+            args.batch = nb
+        # CPU preflight (--cpu --mesh d,f,t): the same sharded program on
+        # the virtual host platform with the XLA inner loss impl
+        # (interpret-mode Pallas hangs inside shard_map on CPU); on
+        # hardware the only delta is the Pallas backend.
+        attn_impl = attn_impl if args.cpu else "pallas_spmd"
 
     remat = args.remat != "none"
     remat_vision = args.remat == "full"
@@ -259,10 +269,22 @@ def bench_train(args, mode: str) -> dict:
     # no backward, so its remat never recomputes — keep it "full").
     vattn = (None if getattr(args, "vision_attn", "auto") == "auto"
              else args.vision_attn)
+    is_7b = getattr(args, "teacher", "standin") == "7b"
+    mlp_chunk = args.mlp_chunk
+    if mlp_chunk is None:
+        # the real-7B bench needs the student MLP-remat carpet capped to
+        # fit 16 GiB (see models/qwen2.py::Qwen2MLP.seq_chunk); the
+        # stand-in fits without it, keep the faster unchunked MLP there
+        mlp_chunk = 1024 if is_7b else 0
+    # remat_barrier: prevent XLA from CSE-saving forward values into the
+    # backward (memory-over-speed; fit-enabling at --teacher 7b, off for
+    # the roomier stand-in).  See models/qwen2.py::Qwen2LM.remat_barrier.
+    barrier = is_7b if args.remat_barrier == "auto" else args.remat_barrier == "on"
     student = LlavaOnevision(scfg, dtype=dtype, remat=remat,
                              remat_vision=remat_vision, attn_impl=attn_impl,
                              vision_attn_impl=vattn,
-                             remat_policy=args.remat_policy)
+                             remat_policy=args.remat_policy,
+                             mlp_chunk=mlp_chunk, remat_barrier=barrier)
     batch = synthetic_kd_batch(
         scfg, batch_size=args.batch, seq_len=seq_len,
         orig_sizes=[orig] * args.batch, accum=args.accum, seed=0,
@@ -339,14 +361,16 @@ def bench_train(args, mode: str) -> dict:
             kd_mode="double_trouble", phase=args.kd_phase,
             loss=kd_loss_config_for("double_trouble"),
             loss_chunk_size=chunk if args.cpu else 128,
-            ce_impl="chunked" if args.cpu else "fused",
+            ce_impl="chunked" if args.cpu and mesh is None else "fused",
+            fused_local_impl="xla" if args.cpu else "pallas",
         )
         models = KDModels(student, teacher)
     else:
         teacher, tparams = None, None
         cfg = TrainConfig(
             kd_mode="baseline", loss_chunk_size=chunk,
-            ce_impl="chunked" if args.cpu else "fused",
+            ce_impl="chunked" if args.cpu and mesh is None else "fused",
+            fused_local_impl="xla" if args.cpu else "pallas",
         )
         models = KDModels(student, None)
 
@@ -610,6 +634,15 @@ def main() -> None:
                     help="generation mode: also measure the steady-state "
                     "decode tok/s (marginal rate between 32- and 96-token "
                     "runs; the headline tok/s is prefill-dominated)")
+    ap.add_argument("--remat_barrier", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="prevent_cse on the towers' remat: stops XLA "
+                    "from CSE-saving forward values into the backward "
+                    "(memory-over-speed). auto = on for --teacher 7b")
+    ap.add_argument("--mlp_chunk", type=int, default=None,
+                    help="sequence-chunked student MLP (HBM-peak lever; "
+                    "models/qwen2.py::Qwen2MLP.seq_chunk). Default: 1024 "
+                    "when --teacher 7b (fit-enabling), else 0 (off)")
     ap.add_argument("--mu_dtype", choices=["f32", "bf16"], default="f32",
                     help="bf16: Adam first moment in bf16 (-1 GB HBM on "
                     "the 0.5B student; what lets KD phase-3 fit B=2)")
@@ -654,9 +687,17 @@ def main() -> None:
     import os
 
     if args.cpu:
+        # --cpu --mesh d,f,t: virtual multi-device host platform so the
+        # production sharded program (GSPMD + shard_map losses, XLA inner)
+        # preflights without TPU hardware
+        ndev = 1
+        if args.mesh:
+            import math
+
+            ndev = math.prod(int(x) for x in args.mesh.split(","))
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
-            + " --xla_force_host_platform_device_count=1"
+            + f" --xla_force_host_platform_device_count={ndev}"
         )
     else:
         # Big kernel blocks: per-program dispatch (~2.7us) dominated the

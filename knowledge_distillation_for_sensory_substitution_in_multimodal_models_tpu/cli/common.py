@@ -214,8 +214,16 @@ def make_tokenizer(args, cfg):
         def _wid(w, _tok=tok, _vocab=vocab):
             if w in _tok.SPECIALS:
                 return _tok.SPECIALS[w]
-            h = int.from_bytes(hashlib.sha1(w.encode()).digest()[:4], "big")
-            return h % (_vocab - 8)
+            wid = _tok._cache.get(w)
+            if wid is None:
+                h = int.from_bytes(hashlib.sha1(w.encode()).digest()[:4], "big")
+                wid = h % (_vocab - 8)
+                # keep the reverse map populated (HashTokenizer._word_id
+                # does) so decode() can render seen words — the e2e
+                # learning test reads predictions back as text
+                _tok._cache[w] = wid
+                _tok._rev.setdefault(wid, w)
+            return wid
 
         tok._word_id = _wid
     return tok

@@ -42,6 +42,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_eval_depth_quirk", dest="eval_depth_quirk",
                    action="store_false")
     p.add_argument("--root_data_dir", type=str, default=None)
+    p.add_argument("--metric_backend", type=str, default="auto",
+                   choices=["auto", "spacy", "hashed"],
+                   help="spacy: hard-fail unless spaCy+en_core_web_md is "
+                        "importable (reference-exact metrics); hashed: "
+                        "force the offline fallback; auto: spaCy when "
+                        "available (eval/metrics.py)")
+    p.add_argument("--prompt_style", type=str, default="reference",
+                   choices=["reference", "train"],
+                   help="reference: the paper's eval prompt (assistant\\n "
+                   "header + ' Answer in one word if possible.'). train: "
+                   "the training template's assistant header verbatim — "
+                   "for from-scratch learning validation (a from-scratch "
+                   "model has no pretrained knowledge to bridge the "
+                   "reference eval template's header shift; see "
+                   "data/chat.py::render_train_style_eval_prompt)")
     p.add_argument("--quant", type=str, default="none",
                    choices=["none", "int8", "int8_full"],
                    help="int8: w8a8 LM decoder matmuls for serving — decode "
@@ -64,7 +79,10 @@ def main(argv=None):
     from ..data.collate import OneVisionCollator
     from ..data.dataset import SUNRGBDVQADataset
     from ..eval.decode import GenerateConfig, Generator
+    from ..eval.metrics import force_backend
     from ..eval.results import update_summary
+
+    force_backend(args.metric_backend)
     from ..models import LlavaOnevision
     from ..train.checkpoint import CheckpointManager
     from ..utils.numwords import digits_to_words
@@ -127,7 +145,8 @@ def main(argv=None):
     )
     buckets = (256,) if common.is_tiny(args) else None
     collator = OneVisionCollator(
-        scfg, tok, eval_mode=True, **(dict(buckets=buckets) if buckets else {})
+        scfg, tok, eval_mode=True, prompt_style=args.prompt_style,
+        **(dict(buckets=buckets) if buckets else {})
     )
 
     gen = Generator(
@@ -149,6 +168,19 @@ def main(argv=None):
         mesh_ctx = jax.set_mesh(mesh)
         mesh_ctx.__enter__()
         params = shard_params(params, mesh)
+
+    # The offline HashTokenizer can only decode ids whose words it has
+    # already encoded (data/tokenization.py `_rev`): seed its reverse map
+    # with the ground-truth answer vocabulary so a correctly-predicted
+    # answer id decodes back to the word instead of an opaque `<id>`.
+    # No-op for HF tokenizers (every id decodes) and for wrong
+    # predictions (unseen ids still render as `<id>` and score 0).
+    if hasattr(tok, "_rev"):
+        answers_col = (ds.df["Answers"] if "Answers" in ds.df.columns
+                       else ds.df.iloc[:, 2])
+        for a in answers_col.astype(str):
+            tok.encode(a)
+            tok.encode(a.lower())
 
     rows = []
     bs = args.eval_batch_size

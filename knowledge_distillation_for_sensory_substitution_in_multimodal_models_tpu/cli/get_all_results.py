@@ -24,6 +24,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bert", action="store_true",
                    help="also compute BERTScore mean/std (bert_score when "
                         "installed, hashed-chargram F1 offline)")
+    p.add_argument("--metric_backend", type=str, default="auto",
+                   choices=["auto", "spacy", "hashed"],
+                   help="spacy: hard-fail unless spaCy+en_core_web_md is "
+                        "importable (reference-exact metrics; required for "
+                        "BASELINE.md comparisons). hashed: force the "
+                        "documented offline fallback. auto: spaCy when "
+                        "available")
     return p
 
 
@@ -32,8 +39,10 @@ def main(argv=None):
 
     import pandas as pd
 
-    from ..eval.metrics import bert_backend, compute_bert_stats
+    from ..eval.metrics import bert_backend, compute_bert_stats, force_backend
     from ..eval.results import summarize_file, update_summary
+
+    force_backend(args.metric_backend)
 
     if args.file:
         row = summarize_file(args.file)

@@ -56,6 +56,27 @@ def render_pixtral_eval_prompt(question: str, one_word_suffix: bool = True) -> s
     return f"<s>[INST] {q}[IMG][/INST]"
 
 
+def render_train_style_eval_prompt(question: str) -> str:
+    """Generation prefix matching the TRAINING template byte-for-byte (the
+    assistant header with its trailing space, no one-word suffix).
+
+    NOT reference parity: the reference always evaluates with
+    ``render_eval_prompt`` below.  In the training template ``\\n`` occurs
+    only after the image segment and is always followed by ``<|im_end|>``,
+    so a from-scratch model that has seen nothing but the training
+    distribution deterministically emits ``<|im_end|>`` after the eval
+    prompt's ``assistant\\n`` header.  The pretrained reference checkpoint
+    bridges that shift; an offline-tokenizer overfit run cannot — the
+    end-to-end learning test (tests/test_e2e_learning.py) uses this style
+    via ``--prompt_style train``.
+    """
+    return (
+        render_message("user", [("text", question), ("image", "")])
+        + IM_START
+        + "assistant "
+    )
+
+
 def render_eval_prompt(question: str, one_word_suffix: bool = True) -> str:
     """Generation prompt; eval appends the one-word instruction
     (`evaluate_onevision.py:163-177`)."""

@@ -25,7 +25,11 @@ import numpy as np
 
 from ..configs import LlavaOnevisionConfig
 from .anyres import build_pack_spec, stack_pack_specs
-from .chat import render_eval_prompt, render_train_prompt
+from .chat import (
+    render_eval_prompt,
+    render_train_prompt,
+    render_train_style_eval_prompt,
+)
 from .image_processing import process_anyres_batch
 from .tokenization import Tokenizer, encode_with_image
 
@@ -52,6 +56,7 @@ class OneVisionCollator:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         eval_mode: bool = False,
         mask_prompt_labels: bool = False,
+        prompt_style: str = "reference",
     ):
         """``mask_prompt_labels=True`` supervises only the assistant-answer
         tokens (the correct-semantics variant; in the reference only the
@@ -63,6 +68,12 @@ class OneVisionCollator:
         self.buckets = tuple(buckets)
         self.eval_mode = eval_mode
         self.mask_prompt_labels = mask_prompt_labels
+        if prompt_style not in ("reference", "train"):
+            raise ValueError(f"unknown prompt_style {prompt_style!r}")
+        # "train": eval prompts use the training template's assistant
+        # header verbatim (chat.render_train_style_eval_prompt) — for
+        # from-scratch learning validation, not reference parity
+        self.prompt_style = prompt_style
 
     def __call__(self, samples: List[tuple]) -> Dict[str, np.ndarray]:
         cfg, tok = self.cfg, self.tokenizer
@@ -87,7 +98,9 @@ class OneVisionCollator:
         for q, a, spec in zip(questions, answers, specs):
             if self.eval_mode:
                 text = None
-                if hasattr(tok, "render_eval"):
+                if self.prompt_style == "train":
+                    text = render_train_style_eval_prompt(q)
+                elif hasattr(tok, "render_eval"):
                     text = tok.render_eval(q)
                 id_rows.append(encode_with_image(
                     tok, text or render_eval_prompt(q), spec.n_tokens

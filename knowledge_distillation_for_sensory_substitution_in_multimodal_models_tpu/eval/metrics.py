@@ -65,14 +65,44 @@ def _rule_lemma(word: str) -> str:
     return w
 
 
+# Backend policy: "auto" (spaCy when importable, else the documented
+# hashed fallback), "spacy" (hard-fail when spaCy/en_core_web_md is
+# missing — guards BASELINE.md comparisons against silently reading
+# fallback numbers), "hashed" (force the fallback even when spaCy is
+# installed — deterministic CI).  CLI: --metric_backend.
+_FORCED_BACKEND = "auto"
+
+
+def force_backend(mode: str) -> None:
+    global _FORCED_BACKEND
+    if mode not in ("auto", "spacy", "hashed"):
+        raise ValueError(f"unknown metric backend {mode!r}")
+    _FORCED_BACKEND = mode
+
+
 @functools.lru_cache(maxsize=1)
-def _spacy_nlp():
+def _load_spacy():
     try:
         import spacy
 
         return spacy.load("en_core_web_md")
     except Exception:
         return None
+
+
+def _spacy_nlp():
+    if _FORCED_BACKEND == "hashed":
+        return None
+    nlp = _load_spacy()
+    if nlp is None and _FORCED_BACKEND == "spacy":
+        raise RuntimeError(
+            "--metric_backend spacy: spaCy + en_core_web_md are not "
+            "available in this environment; reference-exact metrics "
+            "(BASELINE.md comparability) require them.  Install spacy and "
+            "`python -m spacy download en_core_web_md`, or drop the flag "
+            "to accept the documented hashed fallback."
+        )
+    return nlp
 
 
 def _lemma_set(text: str) -> frozenset:

@@ -86,6 +86,14 @@ class LlavaOnevision(nn.Module):
     # (quantize_lm_params_int8(include_embed_head=True)); the fused loss
     # kernels stream the int8 head directly (train/step.py::teacher_head).
     embed_quant: str = "none"
+    # Sequence-chunked LM MLP (models/qwen2.py::Qwen2MLP.seq_chunk):
+    # caps the backward's live [S, intermediate] gate/up buffers at one
+    # chunk per layer — the HBM-peak lever that fits the real-7B-teacher
+    # KD step on one 16 GiB chip.  0 = off.
+    mlp_chunk: int = 0
+    # prevent_cse for both towers' remat (memory-over-speed; see
+    # models/qwen2.py::Qwen2LM.remat_barrier).
+    remat_barrier: bool = False
 
     def setup(self):
         c = self.cfg
@@ -94,6 +102,7 @@ class LlavaOnevision(nn.Module):
             remat_policy=self.remat_policy,
             attn_impl=self.vision_attn_impl or self.attn_impl,
             quant=self.vision_quant,
+            remat_barrier=self.remat_barrier,
             name="vision_tower"
         )
         self.multi_modal_projector = MultiModalProjector(c, self.dtype, name="multi_modal_projector")
@@ -106,6 +115,7 @@ class LlavaOnevision(nn.Module):
             c.text, self.dtype, remat=self.remat,
             remat_policy=self.remat_policy, attn_impl=self.attn_impl,
             quant=self.lm_quant, embed_quant=self.embed_quant,
+            mlp_chunk=self.mlp_chunk, remat_barrier=self.remat_barrier,
             name="language_model"
         )
 

@@ -263,21 +263,56 @@ class Qwen2Attention(nn.Module):
         return out, new_cache
 
 
+def _mlp_ff(mdl: "Qwen2MLP", x: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU core as a free function so the lifted transforms below
+    (nn.remat / nn.scan) keep parameters under ``mdl``'s own scope —
+    the param tree stays ``mlp/{gate,up,down}_proj`` either way."""
+    c = mdl.cfg
+    dense = qdense_cls(mdl.quant)
+    gate = dense(c.intermediate_size, use_bias=False, dtype=mdl.dtype,
+                 name="gate_proj")(x)
+    up = dense(c.intermediate_size, use_bias=False, dtype=mdl.dtype,
+               name="up_proj")(x)
+    return dense(c.hidden_size, use_bias=False, dtype=mdl.dtype,
+                 name="down_proj")(nn.silu(gate) * up)
+
+
 class Qwen2MLP(nn.Module):
     cfg: Qwen2Config
     dtype: jnp.dtype = jnp.float32
     quant: str = "none"
+    # seq_chunk > 0: compute the MLP in sequence chunks via
+    # nn.scan(nn.remat(core)) when S is a multiple of seq_chunk.  The
+    # scanned backward then holds ONE chunk's [chunk, intermediate]
+    # gate/up buffers instead of the full [S, intermediate] pair per
+    # layer — at the 7B-teacher KD step the per-layer 2x28.5M remat
+    # carpet (24 student layers live concurrently under the
+    # latency-hiding scheduler, ~1.4 GiB) is what keeps the real-7B
+    # single-chip bench from fitting 16 GiB.  Cost: one extra MLP
+    # forward inside the (outer-remat) backward, ~+2-3% step FLOPs.
+    seq_chunk: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = self.cfg
-        dense = qdense_cls(self.quant)
-        gate = dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
-                     name="gate_proj")(x)
-        up = dense(c.intermediate_size, use_bias=False, dtype=self.dtype,
-                   name="up_proj")(x)
-        return dense(c.hidden_size, use_bias=False, dtype=self.dtype,
-                     name="down_proj")(nn.silu(gate) * up)
+        ck = self.seq_chunk
+        s = x.shape[1] if x.ndim == 3 else 0
+        if ck and s > ck and s % ck == 0:
+            b, s, d = x.shape
+            xc = x.reshape(b, s // ck, ck, d)
+            core = nn.remat(_mlp_ff, prevent_cse=False)
+
+            def body(mdl, carry, xi):
+                return carry, core(mdl, xi)
+
+            _, y = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=1,
+                out_axes=1,
+            )(self, None, xc)
+            return y.reshape(b, s, d)
+        return _mlp_ff(self, x)
 
 
 class Qwen2Layer(nn.Module):
@@ -285,6 +320,7 @@ class Qwen2Layer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     quant: str = "none"
+    mlp_chunk: int = 0
 
     @nn.compact
     def __call__(self, x, cos, sin, mask, cache=None, cache_index=None):
@@ -296,7 +332,8 @@ class Qwen2Layer(nn.Module):
             cos, sin, mask, cache, cache_index,
         )
         x = x + h
-        x = x + Qwen2MLP(c, self.dtype, self.quant, name="mlp")(
+        x = x + Qwen2MLP(c, self.dtype, self.quant, self.mlp_chunk,
+                         name="mlp")(
             RMSNorm(c.rms_norm_eps, self.dtype, name="post_attention_layernorm")(x)
         )
         return x, new_cache
@@ -331,6 +368,17 @@ class Qwen2LM(nn.Module):
     # "int8": per-row int8 token embedding (QEmbed; untied teachers only
     # — the loss kernels take the quantized lm_head separately).
     embed_quant: str = "none"
+    # Sequence-chunked MLP (see Qwen2MLP.seq_chunk): HBM-peak lever for
+    # the trained student at long S; 0 = off.
+    mlp_chunk: int = 0
+    # prevent_cse for the per-layer remat.  False (default) lets XLA CSE
+    # a backward-recompute op with its forward twin — FASTER (skips the
+    # recompute) but the merged value then lives fwd->bwd, silently
+    # defeating remat for it: at the real-7B KD step the flash kernels'
+    # f32 LSE residuals alone held ~0.8 GiB this way.  True inserts
+    # optimization barriers so remat actually discards; the
+    # memory-over-speed choice for HBM-tight configs.
+    remat_barrier: bool = False
 
     def setup(self):
         c = self.cfg
@@ -350,13 +398,13 @@ class Qwen2LM(nn.Module):
                 name="embed_tokens",
             )
         layer_cls = (
-            nn.remat(Qwen2Layer, prevent_cse=False,
+            nn.remat(Qwen2Layer, prevent_cse=self.remat_barrier,
                      policy=_remat_policy(self.remat_policy))
             if self.remat else Qwen2Layer
         )
         self.layers = [
             layer_cls(c, self.dtype, self.attn_impl, self.quant,
-                      name=f"layers_{i}")
+                      self.mlp_chunk, name=f"layers_{i}")
             for i in range(c.num_hidden_layers)
         ]
         self.norm = RMSNorm(c.rms_norm_eps, self.dtype, name="norm")

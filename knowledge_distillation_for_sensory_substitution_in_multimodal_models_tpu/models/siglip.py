@@ -91,6 +91,9 @@ class SigLIPVisionTower(nn.Module):
     remat_policy: str = "full"  # see models/qwen2.py::_remat_policy
     attn_impl: str = "xla"
     quant: str = "none"  # "int8": w8a8 encoder projections (ops/int8.py)
+    # prevent_cse for the per-layer remat — see
+    # models/qwen2.py::Qwen2LM.remat_barrier (memory-over-speed).
+    remat_barrier: bool = False
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -116,7 +119,7 @@ class SigLIPVisionTower(nn.Module):
         x = x + pos.astype(self.dtype)[None]
 
         layer_cls = (
-            nn.remat(SigLIPEncoderLayer, prevent_cse=False,
+            nn.remat(SigLIPEncoderLayer, prevent_cse=self.remat_barrier,
                      policy=_remat_policy(self.remat_policy))
             if self.remat
             else SigLIPEncoderLayer
