@@ -13,16 +13,18 @@ Modes:
     train step on realistic SUNRGBD anyres shapes (530x730 -> 5 tiles,
     2936 real tokens, bucket S=3072).
   * ``kd`` — double-trouble phase 3 (LoCa + CE mix — the reference's
-    headline config) with a ~1.2B width-scaled stand-in teacher, running
-    the fused Pallas LoCa/CE kernels on one chip at the realistic
-    S=3072 workload (it did not fit 16 GB at round 1's padded S=4864
-    shape).  ``--teacher 7b`` swaps in the REAL llava-onevision-7b config
-    (152128 vocab / 3584 hidden / 28 layers), squeezed onto the one chip
-    by materializing the teacher directly in its int8 layout.  The
-    production 7B deployment is a multi-chip tensor-parallel
-    configuration; its sharded program is validated by
-    ``__graft_entry__.dryrun_multichip``, tests/test_fused_spmd.py, and
-    the 7B-shape AOT compile in tests/test_7b_scale.py.
+    headline config) with the REAL llava-onevision-7b teacher config
+    (152128 vocab / 3584 hidden / 28 layers — the reference's actual
+    workload; DEFAULT since r4), squeezed onto the one chip by
+    materializing the teacher directly in its int8 layout plus the
+    seq-chunked student MLP and the remat barrier (docs/PERF_NOTES.md
+    "The real-7B fit").  ``--teacher standin`` selects the r1-r3
+    ~1.2B width-scaled stand-in series instead (faster compile; fits
+    without the levers).  The production 7B deployment is a multi-chip
+    tensor-parallel configuration (docs/RUNBOOK_MULTICHIP.md); its
+    sharded program is validated by ``__graft_entry__.dryrun_multichip``,
+    tests/test_fused_spmd.py, and the 7B-shape AOT compile in
+    tests/test_7b_scale.py.
   * ``generation`` — jit KV-cache greedy decode (flash-kernel prefill),
     32 new tokens on a ~3k-token anyres prompt, reference decode config
     (`evaluation/onevisionv3/evaluate_onevision.py:186-195`).
@@ -269,7 +271,7 @@ def bench_train(args, mode: str) -> dict:
     # no backward, so its remat never recomputes — keep it "full").
     vattn = (None if getattr(args, "vision_attn", "auto") == "auto"
              else args.vision_attn)
-    is_7b = getattr(args, "teacher", "standin") == "7b"
+    is_7b = args.teacher == "7b" and not args.cpu
     mlp_chunk = args.mlp_chunk
     if mlp_chunk is None:
         # the real-7B bench needs the student MLP-remat carpet capped to
@@ -321,7 +323,7 @@ def bench_train(args, mode: str) -> dict:
         )
         tshapes = _shapes(LlavaOnevision(tcfg, dtype=dtype), micro, 1,
                           "teacher")
-        if getattr(args, "teacher", "standin") == "7b":
+        if is_7b:
             import os
 
             # The [S, V_t] f32 materialized-teacher-logits buffer is
@@ -340,7 +342,7 @@ def bench_train(args, mode: str) -> dict:
                 quantize_lm_params_int8, include_vision=tq == "int8_full",
                 include_embed_head=eh == "int8",
             )
-            if getattr(args, "teacher", "standin") == "7b":
+            if is_7b:
                 # materialize straight into the quantized layout — the
                 # bf16 7B intermediate alone would fill the whole chip
                 bf16_shapes = jax.tree.map(
@@ -609,13 +611,15 @@ def main() -> None:
                     "with accumulate_grad_batches=64, which amortizes the "
                     "optimizer update the accum=1 bench pays per sample)")
     ap.add_argument("--teacher", choices=["standin", "7b"],
-                    default="standin",
-                    help="kd mode teacher: the ~1.2B width-scaled stand-in "
-                    "(default; fits comfortably) or the REAL "
-                    "llava-onevision-7b config (152128 vocab / 3584 hidden "
-                    "/ 28 layers) executed on the single chip — requires "
-                    "--teacher_quant int8/int8_full and materializes the "
-                    "teacher directly in quantized form")
+                    default="7b",
+                    help="kd mode teacher: the REAL llava-onevision-7b "
+                    "config (152128 vocab / 3584 hidden / 28 layers; the "
+                    "reference's actual workload — DEFAULT since r4, "
+                    "measured 1.62 samples/s on one chip) executed via "
+                    "int8 materialization + seq-chunked student MLP + "
+                    "remat barrier, or the ~1.2B width-scaled 'standin' "
+                    "(the r1-r3 headline series; faster compile, fits "
+                    "without the memory levers)")
     ap.add_argument("--teacher_quant",
                     choices=["none", "int8", "int8_full"],
                     default="int8_full",
