@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replicate the reference's full-tensor LoCa fancy "
                         "indexing (SURVEY.md §2.5 #3) instead of the "
                         "paper-correct per-position calibration")
+    p.add_argument("--mask_prompt_labels", action="store_true",
+                   help="supervise ONLY the assistant-answer tokens "
+                        "(data/collate.py; correct-semantics variant — the "
+                        "reference's OneVision path supervises the full "
+                        "sequence incl. the ~95%% image-token positions, "
+                        "SURVEY.md §2.5 #4; its Pixtral path masks like "
+                        "this)")
     return p
 
 
@@ -87,6 +94,8 @@ def main(argv=None):
     tok = common.make_tokenizer(args, scfg)
     buckets = (256,) if common.is_tiny(args) else None
     collator_kw = dict(buckets=buckets) if buckets else {}
+    if args.mask_prompt_labels:
+        collator_kw["mask_prompt_labels"] = True
     train_ds, val_ds = common.make_datasets(args, root)
     train_loader = OneVisionLoader(
         train_ds, OneVisionCollator(scfg, tok, **collator_kw),

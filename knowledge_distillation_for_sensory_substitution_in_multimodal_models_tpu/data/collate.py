@@ -115,11 +115,20 @@ class OneVisionCollator:
             id_rows.append(row)
             if self.mask_prompt_labels:
                 # answer span = the answer's token ids located by
-                # re-encoding the prefix (user turn + assistant header)
+                # re-encoding the prefix (user turn + assistant header) —
+                # the semantics of the reference's Pixtral
+                # `find_subsequence` masking
+                # (`CustomSUNRGBDPixtralDataModule.py:182-199`) — plus the
+                # turn-closing token right after the answer
+                # (<|im_end|>/</s>): supervising the stop is what makes
+                # greedy decode terminate after the answer.
                 prefix_text = full[: full.rindex(str(a))]
                 prefix = encode_with_image(tok, prefix_text, spec.n_tokens)
                 n_answer = len(tok.encode(str(a)))
-                answer_spans.append((len(prefix), len(prefix) + n_answer))
+                end = len(prefix) + n_answer
+                if end < len(row):
+                    end += 1  # the closing special token
+                answer_spans.append((len(prefix), end))
             else:
                 answer_spans.append((0, len(row)))
 
