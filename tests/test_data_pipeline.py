@@ -113,7 +113,9 @@ def test_tokenizer_roundtrip():
 
 def test_mask_prompt_labels(sunrgbd_root):
     """Answer-only supervision (the Pixtral-collate semantics): exactly the
-    answer's token ids stay unmasked."""
+    answer's token ids plus the turn-closing <|im_end|> stay unmasked
+    (supervising the stop is what makes greedy decode terminate after the
+    answer — see data/collate.py and tests/test_e2e_learning.py)."""
     ds = SUNRGBDVQADataset(sunrgbd_root, "train_dataset.csv")
     tok = HashTokenizer()
     collator = OneVisionCollator(CFG, tok, buckets=(256,), mask_prompt_labels=True)
@@ -122,11 +124,11 @@ def test_mask_prompt_labels(sunrgbd_root):
         labels = batch["student_input_ids"][i], batch["labels"][i]
         ids, lab = labels
         kept = lab[lab != -100]
-        answer_ids = tok.encode(ds[i][1])
-        assert list(kept) == answer_ids
+        expected = tok.encode(ds[i][1]) + [tok.SPECIALS["<|im_end|>"]]
+        assert list(kept) == expected
         # and those positions carry the same ids in the input row
         pos = np.nonzero(lab != -100)[0]
-        assert list(ids[pos]) == answer_ids
+        assert list(ids[pos]) == expected
 
 
 def test_loader_to_train_step(sunrgbd_root):
