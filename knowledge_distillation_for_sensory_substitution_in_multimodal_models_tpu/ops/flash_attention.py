@@ -152,6 +152,64 @@ def _fwd_kernel(
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _fwd_kernel_stream(
+    q_ref, k_ref, v_ref, kvm_ref, mh_ref,
+    o_ref, lse_ref,
+    acc_ref, l_ref,
+    *, causal: bool, scale: float, bq: int, bk: int, n_kv: int,
+):
+    """Streaming-bound variant of :func:`_fwd_kernel` (KDSS_FLASH_STREAM).
+
+    Same design as :func:`_gqa_fwd_kernel_stream` (see its docstring for
+    the serialization analysis and the exactness/underflow envelope):
+    ``m`` is the wrapper-computed per-row Cauchy-Schwarz bound, constant
+    across kv blocks, so exp fuses into the QK epilogue and both
+    accumulators are pure +=.
+    """
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    mh = mh_ref[0, 0][:, 0:1]
+
+    def compute(masked):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = _scaled(jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ), scale)
+        if masked:
+            kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+            s = _block_mask(
+                s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
+            )
+        p = jnp.exp(s - mh)  # masked columns underflow to exactly 0
+        if masked:  # fully-masked rows under mode="max": see GQA twin
+            p = jnp.where(mh > MASK_VALUE * 0.5, p, 0.0)
+        l_ref[:] = l_ref[:] + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
+
+    @pl.when(ik == n_kv - 1)
+    def _finalize():
+        l = l_ref[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = jnp.where(l == 0.0, MASK_VALUE, mh + jnp.log(l_safe))
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
 def _dq_kernel(
     q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
@@ -328,18 +386,59 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
         in_specs.append(None)
         inputs.append(None)
 
+    mode = _stream_mode()
+    stream = mode != "off"
     kernel = functools.partial(
-        _fwd_kernel, causal=causal, scale=scale, bq=bq, bk=bk, n_kv=n_kv
+        _fwd_kernel_stream if stream else _fwd_kernel,
+        causal=causal, scale=scale, bq=bq, bk=bk, n_kv=n_kv
     )
     # Fwd-only calls (decode prefill, eval forward) drop the lse output:
     # its [B, H, S, 128] f32 HBM write is pure waste unless a backward
     # will consume it.
     if not with_lse:
-        kernel = _drop_arg(kernel, 5)
+        kernel = _drop_arg(kernel, 6 if stream else 5)
     if kv_mask is None:
         kernel = _drop_arg(kernel, 3)
         in_specs = in_specs[:3]
         inputs = inputs[:3]
+    if stream:
+        mh_spec = pl.BlockSpec(
+            (1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0),
+            memory_space=pltpu.VMEM)
+        if mode == "bound":
+            qf = q.astype(jnp.float32)
+            qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))
+            kf = k.astype(jnp.float32)
+            kb = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=-1), axis=-1))
+            mhat = scale * qn * jnp.repeat(kb, group, axis=1)[
+                :, :, None, None] - 40.0
+            mhat = jnp.broadcast_to(mhat, (b, hq, sq, 128))
+        else:  # exact masked row max, pass 1
+            rm_kernel = functools.partial(
+                _rowmax_kernel,
+                causal=causal, scale=scale, bq=bq, bk=bk, n_kv=n_kv)
+            rm_specs = [q_spec, k_spec]
+            rm_inputs = [q, k]
+            if kv_mask is not None:
+                rm_specs.append(m_spec)
+                rm_inputs.append(kv_mask.astype(jnp.int8)[:, None, :])
+            else:
+                rm_kernel = _drop_arg(rm_kernel, 2)
+            (mhat,) = pl.pallas_call(
+                rm_kernel,
+                grid=(b, hq, n_q, n_kv),
+                in_specs=rm_specs,
+                out_specs=[mh_spec],
+                out_shape=[jax.ShapeDtypeStruct(
+                    (b, hq, sq, 128), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((bq, 128), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=(
+                        "parallel", "parallel", "parallel", "arbitrary"),
+                ),
+            )(*rm_inputs)
+        in_specs.append(mh_spec)
+        inputs.append(mhat)
 
     out_specs = [
         pl.BlockSpec((1, 1, bq, d), lambda b_, h, i, j: (b_, h, i, 0),
@@ -362,8 +461,7 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-        ],
+        ] + ([] if stream else [pltpu.VMEM((bq, 128), jnp.float32)]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -786,6 +884,198 @@ def _gqa_fwd_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
                 lse, (g * bq, 128)).reshape(g, bq, 128)
 
 
+def _gqa_fwd_kernel_stream(q_ref, k_ref, v_ref, kvm_ref, mh_ref, o_ref,
+                           lse_ref, acc_ref, l_ref,
+                           *, causal, scale, g, bq, bk, n_kv):
+    """Streaming-bound fwd (KDSS_FLASH_STREAM): the r4 phase-accounting
+    instrument (docs/PERF_NOTES.md, scripts/flash_phase_ablation.py)
+    showed the default kernel spends ~0.5 of its 0.78 ms/pass NOT in any
+    op but in two serializations: (a) exp's argument depending on a
+    cross-lane reduction of s forces the [rows, bk] f32 score block to
+    fully materialize instead of fusing scale/exp/astype into the QK
+    epilogue, and (b) the alpha-rescaled accumulator breaks pure-+=
+    accumulation.  Both vanish when the online-softmax ``m`` is a
+    per-row constant computed OUTSIDE the kernel (an in-kernel q-norm
+    reduce re-serializes — measured): the wrapper passes
+    ``m_hat_i = scale * |q_i| * max_j |k_j| - 40`` (Cauchy-Schwarz bound
+    over the whole kv sequence, shifted down 40 for underflow margin).
+
+    Exactness: online softmax is exact for ANY per-row m — the e^{-m}
+    factor cancels in acc/l, and lse = m + log(l) is the same value.
+    Overflow is impossible (s <= m_hat + 40 by C-S, so exp <= e^40 and
+    the += sums stay << f32 max).  Underflow needs every score in a row
+    to sit > ~87+40 below the row's C-S bound — i.e.
+    scale*|q_i|*max|k| > ~63 with near-total anti-alignment; outside
+    that envelope the row's l underflows to 0 and the row returns 0
+    like a fully-masked row (tests pin the envelope).  Masked columns
+    produce exp(MASK_VALUE - m_hat) == 0 exactly; the masked-block
+    where pass below exists only for fully-masked ROWS under the
+    exact-max mode (mh == MASK_VALUE there).
+
+    ``mh`` is either the exact masked row max (mode="max", pass 1 via
+    :func:`_gqa_rowmax_kernel` — robust to any input magnitude) or the
+    Cauchy-Schwarz bound (mode="bound", fastest, documented underflow
+    envelope).  Exactness of the division holds for both.
+    """
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    mh = mh_ref[0, 0].reshape(g * bq, 128)[:, 0:1]
+
+    def compute(masked):
+        q = q_ref[0, 0].reshape(g * bq, q_ref.shape[-1])
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = _scaled(jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ), scale)
+        if masked:
+            kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+            s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
+                          kv_mask_blk=kvm)
+        p = jnp.exp(s - mh)
+        # fully-masked rows under mode="max" carry mh == MASK_VALUE, where
+        # exp(s - mh) is 1 per masked column, not 0 — zero them (guard-
+        # gated: clean blocks cannot contain such rows).  Under
+        # mode="bound" mh >= -40 makes masked columns underflow to 0
+        # already; the predicate is then constant-true and harmless.
+        if masked:
+            p = jnp.where(mh > MASK_VALUE * 0.5, p, 0.0)
+        l_ref[:] = l_ref[:] + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
+
+    @pl.when(ik == n_kv - 1)
+    def _():
+        l = l_ref[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        d = o_ref.shape[-1]
+        o_ref[0, 0] = (acc_ref[:] / l_safe).reshape(g, bq, d).astype(
+            o_ref.dtype)
+        if lse_ref is not None:  # fwd-only calls skip the lse output
+            lse = jnp.where(l == 0.0, MASK_VALUE, mh + jnp.log(l_safe))
+            lse_ref[0, 0] = jnp.broadcast_to(
+                lse, (g * bq, 128)).reshape(g, bq, 128)
+
+
+def _stream_mode() -> str:
+    """KDSS_FLASH_STREAM selects the streaming fwd kernels:
+
+    * ``"0"`` (default) — the carried-online-softmax kernel.
+    * ``"max"`` (or ``"1"``) — streaming kernel fed by an EXACT per-row
+      masked score max from a separate cheap pass (``_gqa_rowmax``-style
+      kernel: QK + reduce with nothing downstream of the reduce, which
+      the phase-accounting instrument showed runs at the MXU floor).
+      Exact for any input magnitude — standard flash numerics.
+    * ``"bound"`` — streaming kernel fed by the Cauchy-Schwarz row bound
+      ``scale*|q_i|*max_j|k_j| - 40`` (no second pass, fastest).  Rows
+      underflow to 0 when every score sits > ~87+40 below the row's
+      bound; random-orthogonal data at ~4x unit scale already trips this
+      (tests pin it), so this mode is for inputs with known-sane norms.
+
+    Read at TRACE time (set before the first traced call — the jit cache
+    keeps whichever kernel was traced, same convention as
+    KDSS_FLASH_PRESCALE/KDSS_FLASH_ILP)."""
+    v = os.environ.get("KDSS_FLASH_STREAM", "0")
+    if v == "1":
+        return "max"
+    if v not in ("0", "max", "bound"):
+        raise ValueError(f"KDSS_FLASH_STREAM={v!r}: use 0, max/1, or bound")
+    return "off" if v == "0" else v
+
+
+def _stream_bound_gqa(q, k, scale):
+    """Per-row streaming bound for the GQA layout, lse-layout broadcast.
+
+    q [B, HKV, G, S, D] / k [B, HKV, S, D] -> [B, HKV, G, S, 128] f32:
+    ``scale * |q_i| * max_j |k_j| - 40``.  In packed-pair mode the k rows
+    carry two heads' lanes, which only loosens the bound (sum of both
+    norms >= each) — still valid.  Cost is O(S*D) XLA work fused into
+    the surrounding graph, vs the O(S^2) it de-serializes.
+    """
+    b, hkv, g, sq, _ = q.shape
+    qf = q.astype(jnp.float32)
+    qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))
+    kf = k.astype(jnp.float32)
+    kb = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=-1), axis=-1))
+    mhat = scale * qn * kb[:, :, None, None, None] - 40.0
+    return jnp.broadcast_to(mhat, (b, hkv, g, sq, 128))
+
+
+def _gqa_rowmax_kernel(q_ref, k_ref, kvm_ref, mh_ref, m_ref,
+                       *, causal, scale, g, bq, bk, n_kv):
+    """Exact masked per-row score max (pass 1 of KDSS_FLASH_STREAM=max).
+
+    QK + reduce with NOTHING data-dependent downstream of the reduce in
+    this kernel — the phase-accounting `redonly` arm showed this shape
+    runs at the MXU floor.  Output rides the lse block layout.
+    """
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, MASK_VALUE)
+
+    def compute(masked):
+        q = q_ref[0, 0].reshape(g * bq, q_ref.shape[-1])
+        k = k_ref[0, 0]
+        s = _scaled(jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ), scale)
+        if masked:
+            kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+            s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
+                          kv_mask_blk=kvm)
+        m_ref[:] = jnp.maximum(
+            m_ref[:], jnp.max(s, axis=1, keepdims=True))
+
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
+
+    @pl.when(ik == n_kv - 1)
+    def _():
+        mh_ref[0, 0] = m_ref[:].reshape(g, bq, 128)
+
+
+def _rowmax_kernel(q_ref, k_ref, kvm_ref, mh_ref, m_ref,
+                   *, causal, scale, bq, bk, n_kv):
+    """Base-path (per-head) twin of :func:`_gqa_rowmax_kernel`."""
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, MASK_VALUE)
+
+    def compute(masked):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = _scaled(jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ), scale)
+        if masked:
+            kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+            s = _block_mask(
+                s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm)
+        m_ref[:] = jnp.maximum(
+            m_ref[:], jnp.max(s, axis=1, keepdims=True))
+
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
+
+    @pl.when(ik == n_kv - 1)
+    def _():
+        mh_ref[0, 0] = jnp.broadcast_to(m_ref[:, 0:1], mh_ref.shape[2:])
+
+
 def _gqa_fwd_kernel_ilp(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
                         acc_ref, m_ref, l_ref, acc2_ref, m2_ref, l2_ref,
                         *, causal, scale, g, bq, bk, n_kv):
@@ -884,6 +1174,7 @@ def _gqa_fwd_kernel_ilp(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
 
 
 _ILP_GATE_WARNED = False
+_STREAM_ILP_WARNED = False
 
 
 def _gqa_fwd_ilp_enabled(bk: int) -> bool:
@@ -1086,35 +1377,87 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
     lspec = pl.BlockSpec((1, 1, g, bq, 128),
                          lambda b_, h, i, j: (b_, h, 0, i, 0),
                          memory_space=pltpu.VMEM)
-    ilp = _gqa_fwd_ilp_enabled(bk)
-    kernel = functools.partial(
-        _gqa_fwd_kernel_ilp if ilp else _gqa_fwd_kernel,
-        causal=causal, scale=scale, g=g, bq=bq, bk=bk, n_kv=n_kv)
+    mode = _stream_mode()
+    stream = mode != "off"
+    ilp = (not stream) and _gqa_fwd_ilp_enabled(bk)
+    if stream and os.environ.get("KDSS_FLASH_ILP", "0") == "1":
+        global _STREAM_ILP_WARNED
+        if not _STREAM_ILP_WARNED:
+            _STREAM_ILP_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "KDSS_FLASH_STREAM=1 takes precedence over KDSS_FLASH_ILP=1"
+                " — the ILP fwd variant is not dispatched.", stacklevel=2)
+    if stream:
+        kernel = functools.partial(
+            _gqa_fwd_kernel_stream,
+            causal=causal, scale=scale, g=g, bq=bq, bk=bk, n_kv=n_kv)
+    else:
+        kernel = functools.partial(
+            _gqa_fwd_kernel_ilp if ilp else _gqa_fwd_kernel,
+            causal=causal, scale=scale, g=g, bq=bq, bk=bk, n_kv=n_kv)
     in_specs = [qspec, kspec, kspec]
     inputs = [q, k, v]
     if not with_lse:  # see _flash_fwd_impl: skip the wasted lse write
-        kernel = _drop_arg(kernel, 5)
+        kernel = _drop_arg(kernel, 6 if stream else 5)
     if kv_mask is not None:
         in_specs.append(mspec)
         inputs.append(kv_mask.astype(jnp.int8)[:, None, :])
     else:
         kernel = _drop_arg(kernel, 3)
+    if stream:  # the per-row m rides the lse block layout
+        if mode == "bound":
+            mhat = _stream_bound_gqa(q, k, scale)
+        else:  # exact masked row max, pass 1
+            rm_kernel = functools.partial(
+                _gqa_rowmax_kernel,
+                causal=causal, scale=scale, g=g, bq=bq, bk=bk, n_kv=n_kv)
+            rm_specs = [qspec, kspec]
+            rm_inputs = [q, k]
+            if kv_mask is not None:
+                rm_specs.append(mspec)
+                rm_inputs.append(kv_mask.astype(jnp.int8)[:, None, :])
+            else:
+                rm_kernel = _drop_arg(rm_kernel, 2)
+            (mhat,) = pl.pallas_call(
+                rm_kernel,
+                grid=(b, hkv, n_q, n_kv),
+                in_specs=rm_specs,
+                out_specs=[lspec],
+                out_shape=[jax.ShapeDtypeStruct(
+                    (b, hkv, g, sq, 128), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((g * bq, 128), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=(
+                        "parallel", "parallel", "parallel", "arbitrary"),
+                ),
+            )(*rm_inputs)
+        in_specs.append(lspec)
+        inputs.append(mhat)
     out_specs = [qspec] + ([lspec] if with_lse else [])
     out_shape = [jax.ShapeDtypeStruct((b, hkv, g, sq, d), q.dtype)] + (
         [jax.ShapeDtypeStruct((b, hkv, g, sq, 128), jnp.float32)]
         if with_lse else []
     )
+    if stream:
+        scratch = [
+            pltpu.VMEM((g * bq, d), jnp.float32),
+            pltpu.VMEM((g * bq, 128), jnp.float32),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((g * bq, d), jnp.float32),
+            pltpu.VMEM((g * bq, 128), jnp.float32),
+            pltpu.VMEM((g * bq, 128), jnp.float32),
+        ] * (2 if ilp else 1)
     outs = pl.pallas_call(
         kernel,
         grid=(b, hkv, n_q, n_kv),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((g * bq, d), jnp.float32),
-            pltpu.VMEM((g * bq, 128), jnp.float32),
-            pltpu.VMEM((g * bq, 128), jnp.float32),
-        ] * (2 if ilp else 1),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),

@@ -17,6 +17,37 @@ then gives per-pass times whose DIFFERENCES attribute cost per phase:
   nored      exp kept; the jnp.max/jnp.sum row reductions and the alpha
              rescale replaced by constants (isolates reduction +
              rescale VPU passes)
+  nomax      only the cross-lane row-max replaced by a constant; sum,
+             alpha, l/m bookkeeping all kept (isolates the max)
+  nosum      only the cross-lane jnp.sum(p) replaced by a constant;
+             max/alpha/bookkeeping kept (isolates the sum)
+  nosub      only the [rows,1]->[rows,bk] broadcast-subtract in
+             exp(s - m_new) dropped (exp(s*1e-2)); everything else kept
+             (isolates the lane-broadcast of the running max)
+  noalpha    alpha chain dropped (no exp(m_prev-m_new), acc/l rescales
+             become plain adds); max/sum/subtract/stores kept
+  nostorem   the m_ref broadcast-store replaced by a broadcast-free
+             self-store (isolates the [rows,128] bookkeeping stores)
+  nomaxsum   BOTH cross-lane reductions constant; subtract/alpha/stores
+             all kept (tests whether the two reductions interact — e.g.
+             one hides under the PV matmul, two cannot)
+  redonly    both reductions computed and consumed into l, but the
+             softmax recurrence is severed (no subtract/alpha/m-store):
+             isolates raw reduction throughput from recurrence stalls
+  local      block-LOCAL softmax + [rows,128] merge: exp(s - m_j) with
+             m_j the block's own max (no carried value in the full-width
+             path), carried (m, l, acc) updated by the standard two-way
+             online-softmax merge after the PV matmul.  Numerically
+             identical attention output (asserted vs full) — the
+             candidate fix if the recurrence stall is real
+  bound      like local but m_j is the Cauchy-Schwarz upper bound
+             scale*|q_i|*max_blk|k| - 40 computed from q/k NORMS — no
+             cross-lane reduction of s anywhere in exp's dependency
+             path, so scale+exp+astype can fuse into the QK epilogue.
+             Online softmax is EXACT for any per-row m_j >= max - ~80
+             (the e^-m factor cancels in the l division; the -40 shift
+             doubles the underflow margin and cannot overflow since
+             exp(s - m_j) <= e^40).  Output asserted vs full
   mxu        p = s cast to bf16 straight into the p@v dot (no softmax
              at all): the MXU + pipeline floor for this grid
 
@@ -98,18 +129,120 @@ def _variant_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             return
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = exp(s - m_new)
+        if arm == "streaming":
+            # GLOBAL constant bound (valid for the test data: max s ~ 4,
+            # online softmax exact for any m >= max - ~80): m is the same
+            # for every kv block, so there is NO alpha rescale and the
+            # accumulators are pure += — both serialization sources gone
+            p = exp(s - 4.0)
+            l_ref[:] = l_ref[:] + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[:] = jnp.full_like(m_ref, 4.0)
+            return
+        if arm == "streaming_rowm":
+            # per-ROW bound from the q norms x a global k-norm bound (20
+            # covers the test data whp; asserted vs full): still constant
+            # across kv blocks -> pure += accumulators, no alpha
+            qn = jnp.sqrt(jnp.sum(
+                q.astype(jnp.float32) * q.astype(jnp.float32),
+                axis=1, keepdims=True))
+            m_j = qn * (20.0 * scale) - 20.0
+            p = exp(s - m_j)
+            l_ref[:] = l_ref[:] + jnp.broadcast_to(
+                jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[:] = jnp.broadcast_to(m_j, m_ref.shape)
+            return
+        if arm == "bound":
+            # row bound from q/k norms: independent of s, so nothing
+            # gates the QK-epilogue fusion of scale/exp/astype
+            qn = jnp.sqrt(jnp.sum(
+                q.astype(jnp.float32) * q.astype(jnp.float32),
+                axis=1, keepdims=True))
+            kn2 = jnp.max(jnp.sum(
+                k.astype(jnp.float32) * k.astype(jnp.float32), axis=1))
+            m_j = qn * (jnp.sqrt(kn2) * scale) - 40.0
+            p = exp(s - m_j)
+            l_j = jnp.sum(p, axis=1, keepdims=True)
+            o_j = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_new = jnp.maximum(m_prev, m_j)
+            a_prev = exp(m_prev - m_new)
+            a_j = exp(m_j - m_new)
+            l_ref[:] = jnp.broadcast_to(
+                l_ref[:, 0:1] * a_prev + l_j * a_j, l_ref.shape)
+            acc_ref[:] = acc_ref[:] * a_prev + o_j * a_j
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            return
+        if arm == "local":
+            # block-local softmax: the full-width ops depend only on this
+            # block's QK result, so Mosaic can pipeline blocks; the carried
+            # state enters only via the cheap [rows, 128] merge below
+            m_j = jnp.max(s, axis=1, keepdims=True)
+            p = exp(s - m_j)
+            if masked:
+                p = jnp.where(m_j > -5e29, p, 0.0)
+            l_j = jnp.sum(p, axis=1, keepdims=True)
+            o_j = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_new = jnp.maximum(m_prev, m_j)
+            a_prev = exp(m_prev - m_new)
+            a_j = exp(m_j - m_new)
+            l_ref[:] = jnp.broadcast_to(
+                l_ref[:, 0:1] * a_prev + l_j * a_j, l_ref.shape)
+            acc_ref[:] = acc_ref[:] * a_prev + o_j * a_j
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            return
+        if arm in ("nomax", "nomaxsum"):
+            # constant bound replaces the cross-lane row max; every other
+            # pass (subtract, exp, sum, alpha, l/m stores) stays live
+            m_new = jnp.maximum(m_prev, 4.0)
+        else:
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        if arm == "nosub":
+            p = exp(s * 1e-2)
+        elif arm == "redonly":
+            p = exp(s * 1e-2)
+            l_ref[:] = jnp.broadcast_to(
+                l_ref[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
+                + m_new * 1e-9, l_ref.shape)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return
+        else:
+            p = exp(s - m_new)
         if masked:
             p = jnp.where(m_new > -5e29, p, 0.0)
         alpha = exp(m_prev - m_new)
-        l_ref[:] = jnp.broadcast_to(
-            l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True),
-            l_ref.shape)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        if arm in ("nosum", "nomaxsum"):
+            # constant replaces the cross-lane jnp.sum(p); alpha mult and
+            # the l store stay live
+            psum = alpha * 0.0 + 1.0
+        else:
+            psum = jnp.sum(p, axis=1, keepdims=True)
+        if arm == "noalpha":
+            l_ref[:] = jnp.broadcast_to(l_ref[:, 0:1] + psum, l_ref.shape)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            l_ref[:] = jnp.broadcast_to(
+                l_ref[:, 0:1] * alpha + psum, l_ref.shape)
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        if arm == "nostorem":
+            m_ref[:] = m_ref[:] * 1.0000001
+        else:
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
                   kvm_ref=None)
@@ -173,7 +306,7 @@ def main():
     ap.add_argument("--seq", type=int, default=3072)
     ap.add_argument("--heads", type=int, default=14)
     ap.add_argument("--kv_heads", type=int, default=2)
-    ap.add_argument("--arms", default="full,noexp,nored,mxu")
+    ap.add_argument("--arms", default="full,noexp,nored,nomax,nosum,mxu")
     args = ap.parse_args()
 
     import jax
@@ -193,11 +326,31 @@ def main():
     v = jax.random.normal(k3, (b, hkv, sq, d), jnp.bfloat16)
 
     results = {}
+    outs = {}
     for arm in args.arms.split(","):
         call, dims = build(arm, b, hkv, g, sq, d)
+        if arm in ("full", "local", "bound", "streaming", "streaming_rowm"):
+            # 'local'/'bound' compute the SAME attention output — assert
+            outs[arm] = jax.jit(
+                lambda q, k, v, _c=call: _c(q, k, v)[0],
+                compiler_options={"xla_tpu_scoped_vmem_limit_kib": "98304"},
+            )(q, k, v)
+            if "full" in outs and len(outs) >= 2:
+                import numpy as np
+                a = np.asarray(outs["full"], dtype=np.float32)
+                for other in outs:
+                    if other == "full":
+                        continue
+                    bt = np.asarray(outs[other], dtype=np.float32)
+                    err = float(np.max(np.abs(a - bt)))
+                    print(f"{other}-vs-full max abs err: {err:.2e}",
+                          flush=True)
+                    assert err < 2e-2, f"{other} arm diverged from full"
 
-        def chain(n, _call=call):
-            @jax.jit
+        opts = {"xla_tpu_scoped_vmem_limit_kib": "98304"}
+
+        def chain(n, _call=call, _opts=opts):
+            @lambda f: jax.jit(f, compiler_options=_opts)
             def f(q, k, v):
                 def body(c, _):
                     (o,) = _call(c, k, v)
@@ -221,6 +374,15 @@ def main():
         print(f"{arm:8s} {ms:.3f} ms/pass  (blocks bq,bk,nq,nkv={dims})",
               flush=True)
 
+    for a, lbl in (("nomax", "row max (cross-lane)"),
+                   ("nosum", "p sum (cross-lane)"),
+                   ("nosub", "m broadcast-subtract"),
+                   ("noalpha", "alpha rescale chain"),
+                   ("nostorem", "m broadcast-store"),
+                   ("nomaxsum", "both reductions"),
+                   ("redonly", "all but reductions")):
+        if a in results and "full" in results:
+            print(f"  {lbl:24s} {results['full'] - results[a]:.3f} ms/pass")
     if {"full", "noexp", "nored", "mxu"} <= results.keys():
         f, ne, nr, mx = (results[a] for a in ("full", "noexp", "nored", "mxu"))
         # causal: ~half the kv blocks visited; MACs = 2*S^2*d*heads/2

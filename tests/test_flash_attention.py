@@ -325,3 +325,112 @@ def test_gqa_ilp_gate_warns_on_fallback(monkeypatch):
         assert not fa._gqa_fwd_ilp_enabled(128)  # one-time: no second warn
     assert len(w) == 1 and "KDSS_FLASH_ILP" in str(w[0].message)
     assert fa._gqa_fwd_ilp_enabled(256)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-bound fwd kernels (KDSS_FLASH_STREAM=1): exp's argument is the
+# wrapper-computed Cauchy-Schwarz row bound, constant across kv blocks, so
+# the kernel has no cross-lane reduce in exp's path and pure-+= accumulators
+# (see the r4 phase-accounting section of docs/PERF_NOTES.md).  Exact math:
+# the e^-m factor cancels in acc/l and lse = m + log(l) is the same value.
+# ---------------------------------------------------------------------------
+
+
+STREAM_CASES = [
+    # (b, sq, hq, hkv, d, causal, masked)
+    (1, 256, 4, 4, 64, True, False),    # base (MHA) path
+    (2, 256, 4, 2, 64, True, True),     # GQA packed-pair + causal + mask
+    (1, 256, 6, 2, 72, False, False),   # GQA, padded d
+    (1, 200, 4, 4, 72, False, True),    # base path, seq+lane padding
+]
+
+
+@pytest.mark.parametrize("mode", ["max", "bound"])
+@pytest.mark.parametrize("b,sq,hq,hkv,d,causal,masked", STREAM_CASES)
+def test_stream_matches_default(monkeypatch, mode, b, sq, hq, hkv, d,
+                                causal, masked):
+    q, k, v = _mk(b, sq, sq, hq, hkv, d, seed=11)
+    mask = None
+    if masked:
+        m = np.ones((b, sq), dtype=bool)
+        m[:, sq - 37:] = False
+        mask = jnp.asarray(m)
+
+    def loss(q_, k_, v_):
+        o = flash_attention(q_, k_, v_, mask=mask, causal=causal)
+        return (o * jnp.cos(o)).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("KDSS_FLASH_STREAM", "0")
+        o_ref = flash_attention(q, k, v, mask=mask, causal=causal)
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        monkeypatch.setenv("KDSS_FLASH_STREAM", mode)
+        o_st = flash_attention(q, k, v, mask=mask, causal=causal)
+        g_st = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_st), np.asarray(o_ref),
+                               atol=5e-5, rtol=5e-5)
+    for a, b_ in zip(g_ref, g_st):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("mode", ["max", "bound"])
+def test_stream_fully_masked_rows_zero(monkeypatch, mode):
+    """Rows whose kv mask blanks every column return 0 under every kernel
+    (the l == 0 finalize guard; mode="max" exercises the mh==MASK_VALUE
+    where pass, mode="bound" the natural underflow)."""
+    b, sq, hq, hkv, d = 1, 256, 4, 2, 64
+    q, k, v = _mk(b, sq, sq, hq, hkv, d, seed=5)
+    mask = jnp.zeros((b, sq), dtype=bool)  # nothing to attend
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("KDSS_FLASH_STREAM", mode)
+        o_st = flash_attention(q, k, v, mask=mask, causal=False)
+    assert not np.any(np.asarray(o_st))
+
+
+def test_stream_large_scale_exact_max_holds_bound_degrades(monkeypatch):
+    """4x-magnitude random inputs: the Cauchy-Schwarz bound overshoots the
+    true max by ~130 (random vectors are near-orthogonal), beyond the f32
+    exp range — mode="bound" rows underflow to 0 (PINNED: the documented
+    degrade), while mode="max" (exact row max) stays at parity."""
+    b, sq, hq, hkv, d = 1, 256, 4, 2, 64
+    q, k, v = _mk(b, sq, sq, hq, hkv, d, seed=7)
+    q, k = q * 4.0, k * 4.0
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("KDSS_FLASH_STREAM", "0")
+        o_ref = flash_attention(q, k, v, causal=True)
+        monkeypatch.setenv("KDSS_FLASH_STREAM", "max")
+        o_max = flash_attention(q, k, v, causal=True)
+        monkeypatch.setenv("KDSS_FLASH_STREAM", "bound")
+        o_bnd = flash_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(o_max), np.asarray(o_ref),
+                               atol=5e-5, rtol=5e-5)
+    zero_rows = (np.abs(np.asarray(o_bnd)).max(axis=-1) == 0).mean()
+    assert zero_rows > 0.9  # the degrade is loud-zero, not silent garbage
+
+
+def test_stream_beyond_envelope_rows_degrade_to_zero(monkeypatch):
+    """PINS mode="bound"'s documented failure mode: rows whose every score
+    sits >~127 below the row's C-S bound (here |q||k|*scale ~ 11k with
+    q ⟂ k, true scores 0) underflow l to 0 and return 0 like fully-masked
+    rows — they must NOT silently return garbage.  mode="max" is exact on
+    the same input."""
+    b, sq, hq, hkv, d = 1, 256, 2, 2, 64
+    q = np.zeros((b, sq, hq, d), dtype=np.float32)
+    k = np.zeros((b, sq, hkv, d), dtype=np.float32)
+    v = np.random.default_rng(0).normal(size=(b, sq, hkv, d)).astype(
+        np.float32)
+    q[..., 0] = 300.0   # all along e0
+    k[..., 1] = 300.0   # all along e1 — orthogonal to every query
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("KDSS_FLASH_STREAM", "0")
+        o_ref = flash_attention(q, k, v, causal=False)
+        monkeypatch.setenv("KDSS_FLASH_STREAM", "max")
+        o_max = flash_attention(q, k, v, causal=False)
+        monkeypatch.setenv("KDSS_FLASH_STREAM", "bound")
+        o_bnd = flash_attention(q, k, v, causal=False)
+    assert np.any(np.asarray(o_ref))        # exact kernels: uniform softmax
+    np.testing.assert_allclose(np.asarray(o_max), np.asarray(o_ref),
+                               atol=5e-5, rtol=5e-5)
+    assert not np.any(np.asarray(o_bnd))    # bound: documented degrade
