@@ -210,6 +210,63 @@ def _fwd_kernel_stream(
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _fwd_kernel_sbound(
+    q_ref, k_ref, v_ref, kvm_ref, c_ref, o_ref, lse_ref,
+    acc_ref, l_ref,
+    *, causal: bool, scale: float, bq: int, bk: int, n_kv: int,
+):
+    """Scalar-shift streaming fwd (KDSS_FLASH_STREAM=bound), base path.
+
+    Same exact-math family as :func:`_fwd_kernel_stream`, but the shift
+    is a per-(batch, head) SCALAR read from SMEM instead of a per-row
+    vector: the r4 ablation (docs/PERF_NOTES.md "scalar vs per-row")
+    measured that ANY per-row vector in exp's path costs ~0.5 ms/pass in
+    lane-broadcast serialization, while a traced scalar splat keeps the
+    QK-epilogue fusion and runs at the MXU floor (0.267 vs 0.776
+    ms/pass).  See :func:`_gqa_fwd_kernel_sbound` for the envelope.
+    """
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    c = c_ref[0, 0]
+
+    def compute(masked):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = _scaled(jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ), scale)
+        if masked:
+            kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+            s = _block_mask(
+                s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
+            )
+        p = jnp.exp(s - c)  # masked columns: exp(MASK_VALUE - c) == 0
+        l_ref[:] = l_ref[:] + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
+
+    @pl.when(ik == n_kv - 1)
+    def _finalize():
+        l = l_ref[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = jnp.where(l == 0.0, MASK_VALUE, c + jnp.log(l_safe))
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
 def _dq_kernel(
     q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
@@ -388,9 +445,14 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
 
     mode = _stream_mode()
     stream = mode != "off"
+    if mode == "bound":
+        fwd_kernel = _fwd_kernel_sbound
+    elif stream:
+        fwd_kernel = _fwd_kernel_stream
+    else:
+        fwd_kernel = _fwd_kernel
     kernel = functools.partial(
-        _fwd_kernel_stream if stream else _fwd_kernel,
-        causal=causal, scale=scale, bq=bq, bk=bk, n_kv=n_kv
+        fwd_kernel, causal=causal, scale=scale, bq=bq, bk=bk, n_kv=n_kv
     )
     # Fwd-only calls (decode prefill, eval forward) drop the lse output:
     # its [B, H, S, 128] f32 HBM write is pure waste unless a backward
@@ -405,14 +467,11 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
         mh_spec = pl.BlockSpec(
             (1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0),
             memory_space=pltpu.VMEM)
-        if mode == "bound":
-            qf = q.astype(jnp.float32)
-            qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))
-            kf = k.astype(jnp.float32)
-            kb = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=-1), axis=-1))
-            mhat = scale * qn * jnp.repeat(kb, group, axis=1)[
-                :, :, None, None] - 40.0
-            mhat = jnp.broadcast_to(mhat, (b, hq, sq, 128))
+        if mode == "bound":  # per-(b, head) SCALAR shift via SMEM
+            mhat = _stream_scalar_bound(q, k, scale, reduce_axes=(2,),
+                                        group=group)
+            mh_spec = pl.BlockSpec((1, 1), lambda b_, h, i, j: (b_, h),
+                                   memory_space=pltpu.SMEM)
         else:  # exact masked row max, pass 1
             rm_kernel = functools.partial(
                 _rowmax_kernel,
@@ -976,11 +1035,15 @@ def _stream_mode() -> str:
       kernel: QK + reduce with nothing downstream of the reduce, which
       the phase-accounting instrument showed runs at the MXU floor).
       Exact for any input magnitude — standard flash numerics.
-    * ``"bound"`` — streaming kernel fed by the Cauchy-Schwarz row bound
-      ``scale*|q_i|*max_j|k_j| - 40`` (no second pass, fastest).  Rows
-      underflow to 0 when every score sits > ~87+40 below the row's
-      bound; random-orthogonal data at ~4x unit scale already trips this
-      (tests pin it), so this mode is for inputs with known-sane norms.
+    * ``"bound"`` — streaming kernel fed by a per-(batch, head) SCALAR
+      Cauchy-Schwarz bound ``scale*max|q|*max|k| - 40`` via SMEM (no
+      second pass, fastest: a scalar splat keeps exp fused into the QK
+      epilogue where ANY per-row vector costs ~0.46 ms/pass in
+      lane-broadcast serialization — measured, see PERF_NOTES).  Rows
+      underflow to exact 0 when every score sits > ~87+40 below the
+      head's bound; random-orthogonal data at ~4x unit scale already
+      trips this (tests pin it), so this mode is for inputs with
+      known-sane norms (LN'd activations are).
 
     Read at TRACE time (set before the first traced call — the jit cache
     keeps whichever kernel was traced, same convention as
@@ -993,22 +1056,96 @@ def _stream_mode() -> str:
     return "off" if v == "0" else v
 
 
-def _stream_bound_gqa(q, k, scale):
-    """Per-row streaming bound for the GQA layout, lse-layout broadcast.
+def _gqa_fwd_kernel_sbound(q_ref, k_ref, v_ref, kvm_ref, c_ref, o_ref,
+                           lse_ref, acc_ref, l_ref,
+                           *, causal, scale, g, bq, bk, n_kv):
+    """Scalar-shift streaming fwd (KDSS_FLASH_STREAM=bound), GQA path.
 
-    q [B, HKV, G, S, D] / k [B, HKV, S, D] -> [B, HKV, G, S, 128] f32:
-    ``scale * |q_i| * max_j |k_j| - 40``.  In packed-pair mode the k rows
-    carry two heads' lanes, which only loosens the bound (sum of both
-    norms >= each) — still valid.  Cost is O(S*D) XLA work fused into
-    the surrounding graph, vs the O(S^2) it de-serializes.
+    The r4 per-phase ablation first showed the default kernel spends
+    ~0.5 of its 0.78 ms/pass on exp's data dependence on a cross-lane
+    reduction of s; a follow-up scalar-vs-per-row ablation
+    (docs/PERF_NOTES.md, `streaming` / `streaming_rowm` /
+    `streaming_smem` arms) pinned the cost precisely: a per-ROW shift
+    vector in exp's path — loaded or computed — costs ~0.46 ms in
+    lane-broadcast serialization, while a traced SCALAR splat keeps
+    scale/exp/astype fused into the QK epilogue and runs at the MXU
+    floor (0.267 ms/pass, 2.9x the shipped kernel).
+
+    So the shift here is one scalar per (batch, kv-head group), read
+    from SMEM: ``c = scale * max|q_row| * max|k_row| - 40`` over the
+    group (Cauchy-Schwarz, so s <= c + 40 everywhere).  Exactness: the
+    e^-c factor cancels in acc/l and lse = c + log(l) is the same value
+    — standard online-softmax algebra with a constant m.  Overflow is
+    impossible (exp <= e^40, so l <= S*e^40 << f32 max).  Underflow is
+    per-ROW against the GROUP's scalar: a row returns exact-0 (like a
+    fully-masked row) iff its true max score sits > ~87+40 below c —
+    requiring ~e^127 dynamic range between the group's hottest and the
+    row's best score, far outside anything LN'd activations produce
+    (tests pin the envelope and the loud-zero failure mode).  Masked
+    columns produce exp(MASK_VALUE - c) == 0 exactly, so no masked-row
+    where pass is needed at all.
     """
-    b, hkv, g, sq, _ = q.shape
-    qf = q.astype(jnp.float32)
-    qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    c = c_ref[0, 0]
+
+    def compute(masked):
+        q = q_ref[0, 0].reshape(g * bq, q_ref.shape[-1])
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = _scaled(jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ), scale)
+        if masked:
+            kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
+            s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
+                          kv_mask_blk=kvm)
+        p = jnp.exp(s - c)  # masked columns: exp(MASK_VALUE - c) == 0
+        l_ref[:] = l_ref[:] + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=kvm_ref)
+
+    @pl.when(ik == n_kv - 1)
+    def _():
+        l = l_ref[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        d = o_ref.shape[-1]
+        o_ref[0, 0] = (acc_ref[:] / l_safe).reshape(g, bq, d).astype(
+            o_ref.dtype)
+        if lse_ref is not None:  # fwd-only calls skip the lse output
+            lse = jnp.where(l == 0.0, MASK_VALUE, c + jnp.log(l_safe))
+            lse_ref[0, 0] = jnp.broadcast_to(
+                lse, (g * bq, 128)).reshape(g, bq, 128)
+
+
+def _stream_scalar_bound(q_abs_max_src, k, scale, reduce_axes, group=1):
+    """Per-(batch, head) scalar Cauchy-Schwarz shift for sbound kernels.
+
+    ``scale * max|q_row| * max|k_row| - 40`` with the max over
+    ``reduce_axes`` of the row-norm arrays — [B, HKV] for the GQA
+    layout (covering all g heads of the group), [B, HQ] for the base
+    layout (k norms repeated per group).  In packed-pair mode the rows
+    carry two heads' lanes, which only loosens the bound (the packed
+    norm >= each head's) — still valid.  O(S*D) XLA work fused into the
+    surrounding graph, vs the O(S^2) serialization it removes.
+    """
+    qf = q_abs_max_src.astype(jnp.float32)
+    qn = jnp.sqrt(jnp.max(jnp.sum(qf * qf, axis=-1), axis=reduce_axes))
     kf = k.astype(jnp.float32)
-    kb = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=-1), axis=-1))
-    mhat = scale * qn * kb[:, :, None, None, None] - 40.0
-    return jnp.broadcast_to(mhat, (b, hkv, g, sq, 128))
+    kn = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=-1), axis=-1))
+    if group > 1:  # base layout: per-q-head qn x the group's kv-head kn
+        kn = jnp.repeat(kn, group, axis=1)
+    return scale * qn * kn - 40.0
 
 
 def _gqa_rowmax_kernel(q_ref, k_ref, kvm_ref, mh_ref, m_ref,
@@ -1389,7 +1526,11 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
             warnings.warn(
                 "KDSS_FLASH_STREAM=1 takes precedence over KDSS_FLASH_ILP=1"
                 " — the ILP fwd variant is not dispatched.", stacklevel=2)
-    if stream:
+    if mode == "bound":
+        kernel = functools.partial(
+            _gqa_fwd_kernel_sbound,
+            causal=causal, scale=scale, g=g, bq=bq, bk=bk, n_kv=n_kv)
+    elif stream:
         kernel = functools.partial(
             _gqa_fwd_kernel_stream,
             causal=causal, scale=scale, g=g, bq=bq, bk=bk, n_kv=n_kv)
@@ -1406,10 +1547,13 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
         inputs.append(kv_mask.astype(jnp.int8)[:, None, :])
     else:
         kernel = _drop_arg(kernel, 3)
-    if stream:  # the per-row m rides the lse block layout
-        if mode == "bound":
-            mhat = _stream_bound_gqa(q, k, scale)
-        else:  # exact masked row max, pass 1
+    if stream:
+        mh_spec = lspec
+        if mode == "bound":  # per-(b, kv-head group) SCALAR shift via SMEM
+            mhat = _stream_scalar_bound(q, k, scale, reduce_axes=(2, 3))
+            mh_spec = pl.BlockSpec((1, 1), lambda b_, h, i, j: (b_, h),
+                                   memory_space=pltpu.SMEM)
+        else:  # the per-row exact m rides the lse block layout, pass 1
             rm_kernel = functools.partial(
                 _gqa_rowmax_kernel,
                 causal=causal, scale=scale, g=g, bq=bq, bk=bk, n_kv=n_kv)
@@ -1433,7 +1577,7 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
                         "parallel", "parallel", "parallel", "arbitrary"),
                 ),
             )(*rm_inputs)
-        in_specs.append(lspec)
+        in_specs.append(mh_spec)
         inputs.append(mhat)
     out_specs = [qspec] + ([lspec] if with_lse else [])
     out_shape = [jax.ShapeDtypeStruct((b, hkv, g, sq, d), q.dtype)] + (

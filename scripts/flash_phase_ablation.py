@@ -256,6 +256,63 @@ def _variant_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
             o_ref.dtype)
 
 
+def _streaming_smem_kernel(q_ref, k_ref, v_ref, c_ref, o_ref,
+                           acc_ref, m_ref, l_ref,
+                           *, causal, scale, g, bq, bk, n_kv):
+    """streaming arm, but the shift is a TRACED scalar read from SMEM
+    (the production shape: a wrapper-computed global C-S bound) instead
+    of a compile-time constant — isolates whether Mosaic's QK-epilogue
+    fusion survives a runtime scalar splat."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.flash_attention import (
+        _gqa_dispatch,
+        _scaled,
+    )
+
+    iq, ik = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    c = c_ref[0]
+
+    def compute(masked):
+        q = q_ref[0, 0].reshape(g * bq, q_ref.shape[-1])
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = _scaled(jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32), scale)
+        if masked:
+            from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.flash_attention import (
+                _gqa_mask,
+            )
+            s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq,
+                          bk=bk, kv_mask_blk=None)
+        p = jnp.exp(s - c)
+        l_ref[:] = l_ref[:] + jnp.broadcast_to(
+            jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    _gqa_dispatch(compute, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                  kvm_ref=None)
+
+    @pl.when(ik == n_kv - 1)
+    def _():
+        l = l_ref[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        d = o_ref.shape[-1]
+        o_ref[0, 0] = (acc_ref[:] / l_safe).reshape(g, bq, d).astype(
+            o_ref.dtype)
+
+
 def build(arm, b, hkv, g, sq, d):
     import jax
     import jax.numpy as jnp
@@ -270,6 +327,40 @@ def build(arm, b, hkv, g, sq, d):
     bk = fa._pick_block_big(sq, fa._GQA_BK)
     n_q, n_kv = sq // bq, sq // bk
     qspec, kspec, _ = fa._gqa_specs(b, hkv, g, bq, bk, d, None)
+
+    if arm == "streaming_smem":
+        scale = d**-0.5
+        kernel = functools.partial(
+            _streaming_smem_kernel, causal=True, scale=scale, g=g,
+            bq=bq, bk=bk, n_kv=n_kv)
+        inner = pl.pallas_call(
+            kernel,
+            grid=(b, hkv, n_q, n_kv),
+            in_specs=[qspec, kspec, kspec,
+                      pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=[qspec],
+            out_shape=[jax.ShapeDtypeStruct(
+                (b, hkv, g, sq, d), jnp.bfloat16)],
+            scratch_shapes=[
+                pltpu.VMEM((g * bq, d), jnp.float32),
+                pltpu.VMEM((g * bq, 128), jnp.float32),
+                pltpu.VMEM((g * bq, 128), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+            ),
+        )
+
+        def call(q, k, v):
+            qf = q.astype(jnp.float32)
+            kf = k.astype(jnp.float32)
+            qn = jnp.sqrt(jnp.max(jnp.sum(qf * qf, axis=-1)))
+            kn = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=-1)))
+            c = jnp.maximum(scale * qn * kn, 0.0).reshape(1)
+            return inner(q, k, v, c)
+
+        return call, (bq, bk, n_q, n_kv)
 
     if arm == "full":
         kernel = functools.partial(
@@ -329,7 +420,8 @@ def main():
     outs = {}
     for arm in args.arms.split(","):
         call, dims = build(arm, b, hkv, g, sq, d)
-        if arm in ("full", "local", "bound", "streaming", "streaming_rowm"):
+        if arm in ("full", "local", "bound", "streaming", "streaming_rowm",
+                   "streaming_smem"):
             # 'local'/'bound' compute the SAME attention output — assert
             outs[arm] = jax.jit(
                 lambda q, k, v, _c=call: _c(q, k, v)[0],

@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--steps", type=int, default=None,
                     help="divide totals by N steps for ms/step")
+    ap.add_argument("--klass", type=str, default=None,
+                    help="restrict the top-ops table to one class "
+                         "(e.g. 'copy/layout')")
     args = ap.parse_args()
 
     events = load_events(args.profile_dir)
@@ -83,7 +86,8 @@ def main():
         if envelope.match(name):
             continue
         dur = e["dur"] / 1e3  # us -> ms
-        per_name[name] += dur
+        if args.klass is None or classify(name) == args.klass:
+            per_name[name] += dur
         per_class[classify(name)] += dur
         total += dur
 
@@ -94,7 +98,8 @@ def main():
     print("\n-- by class --")
     for k, v in per_class.most_common():
         print(f"  {k:36s} {v/div:9.2f} ms  {100*v/total:5.1f}%")
-    print(f"\n-- top {args.top} ops --")
+    print(f"\n-- top {args.top} ops"
+          + (f" in class {args.klass}" if args.klass else "") + " --")
     for k, v in per_name.most_common(args.top):
         print(f"  {v/div:9.2f} ms  {100*v/total:5.1f}%  {k[:110]}")
 
