@@ -158,13 +158,15 @@ def _fwd_kernel_stream(
     acc_ref, l_ref,
     *, causal: bool, scale: float, bq: int, bk: int, n_kv: int,
 ):
-    """Streaming-bound variant of :func:`_fwd_kernel` (KDSS_FLASH_STREAM).
+    """Per-row streaming variant of :func:`_fwd_kernel`
+    (KDSS_FLASH_STREAM=max), base path.
 
-    Same design as :func:`_gqa_fwd_kernel_stream` (see its docstring for
-    the serialization analysis and the exactness/underflow envelope):
-    ``m`` is the wrapper-computed per-row Cauchy-Schwarz bound, constant
-    across kv blocks, so exp fuses into the QK epilogue and both
-    accumulators are pure +=.
+    Same design as :func:`_gqa_fwd_kernel_stream` (see its docstring):
+    ``mh`` is the exact per-row masked score max from pass 1
+    (:func:`_rowmax_kernel`), constant across kv blocks, so the carried
+    recurrence and alpha rescale disappear and both accumulators are
+    pure +=.  Validation reference for any input magnitude; the perf
+    path is :func:`_fwd_kernel_sbound`.
     """
     iq, ik = pl.program_id(2), pl.program_id(3)
 
@@ -188,7 +190,7 @@ def _fwd_kernel_stream(
                 s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
             )
         p = jnp.exp(s - mh)  # masked columns underflow to exactly 0
-        if masked:  # fully-masked rows under mode="max": see GQA twin
+        if masked:  # fully-masked rows (mh == MASK_VALUE): see GQA twin
             p = jnp.where(mh > MASK_VALUE * 0.5, p, 0.0)
         l_ref[:] = l_ref[:] + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
@@ -232,7 +234,9 @@ def _fwd_kernel_sbound(
         acc_ref[:] = jnp.zeros_like(acc_ref)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    c = c_ref[0, 0]
+    # c rides as a FULL [B, H] SMEM array (a blocked (1,1) spec violates
+    # the mosaic last-two-dims tiling check for general B/H)
+    c = c_ref[pl.program_id(0), pl.program_id(1)]
 
     def compute(masked):
         q = q_ref[0, 0]
@@ -470,8 +474,7 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
         if mode == "bound":  # per-(b, head) SCALAR shift via SMEM
             mhat = _stream_scalar_bound(q, k, scale, reduce_axes=(2,),
                                         group=group)
-            mh_spec = pl.BlockSpec((1, 1), lambda b_, h, i, j: (b_, h),
-                                   memory_space=pltpu.SMEM)
+            mh_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         else:  # exact masked row max, pass 1
             rm_kernel = functools.partial(
                 _rowmax_kernel,
@@ -946,35 +949,25 @@ def _gqa_fwd_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref, lse_ref,
 def _gqa_fwd_kernel_stream(q_ref, k_ref, v_ref, kvm_ref, mh_ref, o_ref,
                            lse_ref, acc_ref, l_ref,
                            *, causal, scale, g, bq, bk, n_kv):
-    """Streaming-bound fwd (KDSS_FLASH_STREAM): the r4 phase-accounting
-    instrument (docs/PERF_NOTES.md, scripts/flash_phase_ablation.py)
-    showed the default kernel spends ~0.5 of its 0.78 ms/pass NOT in any
-    op but in two serializations: (a) exp's argument depending on a
-    cross-lane reduction of s forces the [rows, bk] f32 score block to
-    fully materialize instead of fusing scale/exp/astype into the QK
-    epilogue, and (b) the alpha-rescaled accumulator breaks pure-+=
-    accumulation.  Both vanish when the online-softmax ``m`` is a
-    per-row constant computed OUTSIDE the kernel (an in-kernel q-norm
-    reduce re-serializes — measured): the wrapper passes
-    ``m_hat_i = scale * |q_i| * max_j |k_j| - 40`` (Cauchy-Schwarz bound
-    over the whole kv sequence, shifted down 40 for underflow margin).
+    """Per-row streaming fwd (KDSS_FLASH_STREAM=max), GQA path.
 
-    Exactness: online softmax is exact for ANY per-row m — the e^{-m}
-    factor cancels in acc/l, and lse = m + log(l) is the same value.
-    Overflow is impossible (s <= m_hat + 40 by C-S, so exp <= e^40 and
-    the += sums stay << f32 max).  Underflow needs every score in a row
-    to sit > ~87+40 below the row's C-S bound — i.e.
-    scale*|q_i|*max|k| > ~63 with near-total anti-alignment; outside
-    that envelope the row's l underflows to 0 and the row returns 0
-    like a fully-masked row (tests pin the envelope).  Masked columns
-    produce exp(MASK_VALUE - m_hat) == 0 exactly; the masked-block
-    where pass below exists only for fully-masked ROWS under the
-    exact-max mode (mh == MASK_VALUE there).
+    ``mh`` is the exact masked per-row score max from pass 1
+    (:func:`_gqa_rowmax_kernel`), constant across kv blocks, so the
+    online-softmax recurrence disappears: no carried m, no alpha
+    rescale, pure-+= accumulators.  Exactness: online softmax is exact
+    for ANY per-row m — the e^{-m} factor cancels in acc/l and
+    lse = m + log(l) is the same value; with m the true row max this is
+    standard flash numerics, robust to any input magnitude.
 
-    ``mh`` is either the exact masked row max (mode="max", pass 1 via
-    :func:`_gqa_rowmax_kernel` — robust to any input magnitude) or the
-    Cauchy-Schwarz bound (mode="bound", fastest, documented underflow
-    envelope).  Exactness of the division holds for both.
+    NOTE this is the VALIDATION reference, not the perf path: the r4
+    scalar-vs-per-row ablation (docs/PERF_NOTES.md) measured that any
+    per-ROW vector in exp's path re-serializes the score block
+    (lane-broadcast), so this kernel plus its extra pass is slightly
+    slower than the default (0.860 vs 0.776 ms/pass).  The fast path is
+    :func:`_gqa_fwd_kernel_sbound` (mode="bound", per-head SMEM
+    scalar).  Masked columns produce exp(MASK_VALUE - mh) == 0 when mh
+    is finite; the where pass below handles fully-masked ROWS, whose
+    mh == MASK_VALUE makes exp(0) == 1 per masked column.
     """
     iq, ik = pl.program_id(2), pl.program_id(3)
 
@@ -997,11 +990,9 @@ def _gqa_fwd_kernel_stream(q_ref, k_ref, v_ref, kvm_ref, mh_ref, o_ref,
             s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
                           kv_mask_blk=kvm)
         p = jnp.exp(s - mh)
-        # fully-masked rows under mode="max" carry mh == MASK_VALUE, where
-        # exp(s - mh) is 1 per masked column, not 0 — zero them (guard-
-        # gated: clean blocks cannot contain such rows).  Under
-        # mode="bound" mh >= -40 makes masked columns underflow to 0
-        # already; the predicate is then constant-true and harmless.
+        # fully-masked rows carry mh == MASK_VALUE, where exp(s - mh) is
+        # 1 per masked column, not 0 — zero them (guard-gated: clean
+        # blocks cannot contain such rows)
         if masked:
             p = jnp.where(mh > MASK_VALUE * 0.5, p, 0.0)
         l_ref[:] = l_ref[:] + jnp.broadcast_to(
@@ -1031,10 +1022,11 @@ def _stream_mode() -> str:
 
     * ``"0"`` (default) — the carried-online-softmax kernel.
     * ``"max"`` (or ``"1"``) — streaming kernel fed by an EXACT per-row
-      masked score max from a separate cheap pass (``_gqa_rowmax``-style
-      kernel: QK + reduce with nothing downstream of the reduce, which
-      the phase-accounting instrument showed runs at the MXU floor).
-      Exact for any input magnitude — standard flash numerics.
+      masked score max from a separate pass.  Exact for any input
+      magnitude — standard flash numerics — but measured slightly
+      SLOWER than the default (0.860 vs 0.776 ms/pass: the per-row
+      vector in exp's path re-serializes, and the extra pass isn't
+      free).  Validation reference, not a perf mode.
     * ``"bound"`` — streaming kernel fed by a per-(batch, head) SCALAR
       Cauchy-Schwarz bound ``scale*max|q|*max|k| - 40`` via SMEM (no
       second pass, fastest: a scalar splat keeps exp fused into the QK
@@ -1092,7 +1084,9 @@ def _gqa_fwd_kernel_sbound(q_ref, k_ref, v_ref, kvm_ref, c_ref, o_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    c = c_ref[0, 0]
+    # c rides as a FULL [B, H] SMEM array (a blocked (1,1) spec violates
+    # the mosaic last-two-dims tiling check for general B/H)
+    c = c_ref[pl.program_id(0), pl.program_id(1)]
 
     def compute(masked):
         q = q_ref[0, 0].reshape(g * bq, q_ref.shape[-1])
@@ -1551,8 +1545,7 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
         mh_spec = lspec
         if mode == "bound":  # per-(b, kv-head group) SCALAR shift via SMEM
             mhat = _stream_scalar_bound(q, k, scale, reduce_axes=(2, 3))
-            mh_spec = pl.BlockSpec((1, 1), lambda b_, h, i, j: (b_, h),
-                                   memory_space=pltpu.SMEM)
+            mh_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         else:  # the per-row exact m rides the lse block layout, pass 1
             rm_kernel = functools.partial(
                 _gqa_rowmax_kernel,
