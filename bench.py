@@ -664,13 +664,16 @@ def main() -> None:
                     "non-causal S=729/d=72 where flash pads d to 128 "
                     "lanes — 'xla' materializes the small [T,768,768] "
                     "probs instead (A/B, see PERF_NOTES)")
-    ap.add_argument("--flash_stream", choices=["off", "bound", "max"],
-                    default="off",
+    ap.add_argument("--flash_stream",
+                    choices=["default", "off", "bound", "max"],
+                    default="default",
                     help="flash fwd kernel family (KDSS_FLASH_STREAM): "
-                    "'bound' = scalar-shift streaming fwd (2.28x the "
-                    "default kernel at production shapes, exact within "
-                    "the documented norm envelope), 'max' = per-row "
-                    "exact 2-pass validation reference")
+                    "'default' leaves the kernel default ('bound' since "
+                    "r4: scalar-shift streaming fwd, 2.28x the carried "
+                    "kernel at production shapes, NaN-loud outside its "
+                    "norm envelope), 'off' = carried online softmax "
+                    "(exact for any magnitude, the pre-r4 default), "
+                    "'max' = per-row exact 2-pass validation reference")
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="capture a jax.profiler trace of the timed steps")
     ap.add_argument("--xla_opt", action="append", default=[],
@@ -697,10 +700,11 @@ def main() -> None:
 
     import os
 
-    if args.flash_stream != "off":
+    if args.flash_stream != "default":
         # trace-time read (PERF_NOTES env-flag convention): set before
         # the first traced call
-        os.environ["KDSS_FLASH_STREAM"] = args.flash_stream
+        os.environ["KDSS_FLASH_STREAM"] = (
+            "0" if args.flash_stream == "off" else args.flash_stream)
 
     if args.cpu:
         # --cpu --mesh d,f,t: virtual multi-device host platform so the

@@ -212,10 +212,116 @@ def _fwd_kernel_stream(
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
+def _block_mask_bool(*, causal, iq, ik, bq, bk, kv_mask_blk):
+    """Combined causal ∧ kv-padding bool for one [bq, bk] block (True =
+    attend); python ``True`` when neither mask applies.  Used by the
+    sbound kernels, which need the boolean itself (row-validity
+    tracking for the underflow poison) — the default kernels keep their
+    measured two-``where`` form in :func:`_block_mask`."""
+    m = True
+    if causal:
+        q_pos = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        k_pos = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        m = _and(m, q_pos >= k_pos)
+    if kv_mask_blk is not None:
+        m = _and(m, jnp.broadcast_to(kv_mask_blk, (bq, bk)))
+    return m
+
+
+def _gqa_mask_bool(*, causal, iq, ik, g, bq, bk, kv_mask_blk):
+    """GQA-layout (g*bq rows) variant of :func:`_block_mask_bool`."""
+    m = True
+    if causal:
+        q_pos = _q_positions(g, bq, bk, iq)
+        k_pos = ik * bk + jax.lax.broadcasted_iota(
+            jnp.int32, (g * bq, bk), 1)
+        m = _and(m, q_pos >= k_pos)
+    if kv_mask_blk is not None:
+        m = _and(m, jnp.broadcast_to(kv_mask_blk, (g * bq, bk)))
+    return m
+
+
+def _sbound_track_valid(vc_ref, masked_bool):
+    """Accumulate per-row "has >=1 attendable column" into vc_ref.
+
+    ``masked_bool`` is the block's attend-bool ([rows, bk]), python True
+    for mask-free interior blocks.  The max-reduce does NOT feed exp, so
+    it pipelines at full rate (the phase ablation's `redonly` arm)."""
+    if masked_bool is True:
+        vc_ref[:] = jnp.ones_like(vc_ref)
+    else:
+        vc_ref[:] = jnp.maximum(vc_ref[:], jnp.broadcast_to(
+            jnp.max(masked_bool.astype(jnp.float32), axis=1, keepdims=True),
+            vc_ref.shape))
+
+
+def _sbound_finalize_o(acc, l, vc_ref, poison_mode):
+    """Normalize acc, keeping fully-masked rows at the all-kernels 0
+    convention while POISONING valid-but-underflowed rows with NaN:
+    bound mode must never return a silently-wrong finite answer (see
+    :func:`_stream_mode`).
+
+    ``poison_mode`` (static):
+    * ``"dead"`` — no kv mask, so every row has >=1 attendable column
+      (causal rows own their diagonal): l == 0 alone implies underflow.
+      Finalize-only cost, free.
+    * ``"vc"`` — fwd-only call WITH a kv mask: fully-masked rows exist
+      and there is no lse output for the wrapper to consult, so the
+      kernel tracks per-row validity in vc_ref (the per-block tracking
+      measured -2.4% on the KD step — acceptable on fwd-only/serving
+      calls, not on the training path).
+    * ``"wrapper"`` — with_lse call WITH a kv mask: the wrapper poisons
+      from lse + an XLA row-validity mask instead (fuses into the
+      surrounding graph for free); the kernel does nothing."""
+    dead = l == 0.0
+    l_safe = jnp.where(dead, 1.0, l)
+    o = acc / l_safe
+    if poison_mode == "dead":
+        return jnp.where(dead, float("nan"), o)
+    if poison_mode == "vc":
+        return jnp.where(_and(dead, vc_ref[:, 0:1] > 0.0),
+                         float("nan"), o)
+    return o
+
+
+def _rows_valid(kv_mask, causal, sq):
+    """[B, sq] bool: q row has >=1 attendable kv column.  ``None`` means
+    every row is valid (no kv mask: causal rows own their diagonal,
+    non-causal rows see everything)."""
+    if kv_mask is None:
+        return None
+    if causal:
+        pref = jnp.cumsum(kv_mask.astype(jnp.int32), axis=1) > 0
+        skv = pref.shape[1]
+        if skv < sq:  # q padded past kv: those rows see all of kv
+            pref = jnp.concatenate(
+                [pref,
+                 jnp.broadcast_to(pref[:, -1:], (pref.shape[0], sq - skv))],
+                axis=1)
+        return pref[:, :sq]
+    return jnp.broadcast_to(jnp.any(kv_mask, axis=1, keepdims=True),
+                            (kv_mask.shape[0], sq))
+
+
+def _sbound_wrapper_poison(out, lse, kv_mask, causal):
+    """Training-path (with_lse) bound-mode poison: NaN the
+    valid-but-underflowed rows (lse == MASK_VALUE marks l == 0) outside
+    the kernel.  out [..., sq, d], lse [..., sq, 128], kv_mask is
+    non-None here (the kvm-free case is handled in-kernel, mode
+    "dead")."""
+    sq = out.shape[-2]
+    dead = lse[..., :1] == MASK_VALUE
+    valid = _rows_valid(kv_mask, causal, sq)
+    vshape = valid.shape[:1] + (1,) * (out.ndim - 3) + (sq, 1)
+    poison = jnp.logical_and(dead, valid.reshape(vshape))
+    return jnp.where(poison, jnp.asarray(float("nan"), out.dtype), out)
+
+
 def _fwd_kernel_sbound(
     q_ref, k_ref, v_ref, kvm_ref, c_ref, o_ref, lse_ref,
-    acc_ref, l_ref,
+    acc_ref, l_ref, vc_ref,
     *, causal: bool, scale: float, bq: int, bk: int, n_kv: int,
+    poison_mode: str,
 ):
     """Scalar-shift streaming fwd (KDSS_FLASH_STREAM=bound), base path.
 
@@ -225,7 +331,8 @@ def _fwd_kernel_sbound(
     measured that ANY per-row vector in exp's path costs ~0.5 ms/pass in
     lane-broadcast serialization, while a traced scalar splat keeps the
     QK-epilogue fusion and runs at the MXU floor (0.267 vs 0.776
-    ms/pass).  See :func:`_gqa_fwd_kernel_sbound` for the envelope.
+    ms/pass).  See :func:`_gqa_fwd_kernel_sbound` for the envelope and
+    the underflow-poison semantics.
     """
     iq, ik = pl.program_id(2), pl.program_id(3)
 
@@ -233,6 +340,8 @@ def _fwd_kernel_sbound(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         l_ref[:] = jnp.zeros_like(l_ref)
+        if poison_mode == "vc":
+            vc_ref[:] = jnp.zeros_like(vc_ref)
 
     # c rides as a FULL [B, H] SMEM array (a blocked (1,1) spec violates
     # the mosaic last-two-dims tiling check for general B/H)
@@ -247,9 +356,18 @@ def _fwd_kernel_sbound(
         ), scale)
         if masked:
             kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
-            s = _block_mask(
-                s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
-            )
+            if poison_mode == "vc":  # need the attend-bool for vc
+                mb = _block_mask_bool(
+                    causal=causal, iq=iq, ik=ik, bq=bq, bk=bk,
+                    kv_mask_blk=kvm)
+                if mb is not True:
+                    s = jnp.where(mb, s, MASK_VALUE)
+                _sbound_track_valid(vc_ref, mb)
+            else:
+                s = _block_mask(s, causal=causal, iq=iq, ik=ik, bq=bq,
+                                bk=bk, kv_mask_blk=kvm)
+        elif poison_mode == "vc":
+            _sbound_track_valid(vc_ref, True)
         p = jnp.exp(s - c)  # masked columns: exp(MASK_VALUE - c) == 0
         l_ref[:] = l_ref[:] + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
@@ -265,7 +383,8 @@ def _fwd_kernel_sbound(
     def _finalize():
         l = l_ref[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        o = _sbound_finalize_o(acc_ref[:], l, vc_ref, poison_mode)
+        o_ref[0, 0] = o.astype(o_ref.dtype)
         if lse_ref is not None:
             lse = jnp.where(l == 0.0, MASK_VALUE, c + jnp.log(l_safe))
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
@@ -449,15 +568,19 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
 
     mode = _stream_mode()
     stream = mode != "off"
+    poison_mode = None
     if mode == "bound":
-        fwd_kernel = _fwd_kernel_sbound
-    elif stream:
-        fwd_kernel = _fwd_kernel_stream
+        poison_mode = ("dead" if kv_mask is None
+                       else ("vc" if not with_lse else "wrapper"))
+        kernel = functools.partial(
+            _fwd_kernel_sbound, causal=causal, scale=scale, bq=bq, bk=bk,
+            n_kv=n_kv, poison_mode=poison_mode)
+        if poison_mode != "vc":  # vc scratch only exists in "vc" mode
+            kernel = _drop_arg(kernel, 9)
     else:
-        fwd_kernel = _fwd_kernel
-    kernel = functools.partial(
-        fwd_kernel, causal=causal, scale=scale, bq=bq, bk=bk, n_kv=n_kv
-    )
+        kernel = functools.partial(
+            _fwd_kernel_stream if stream else _fwd_kernel,
+            causal=causal, scale=scale, bq=bq, bk=bk, n_kv=n_kv)
     # Fwd-only calls (decode prefill, eval forward) drop the lse output:
     # its [B, H, S, 128] f32 HBM write is pure waste unless a backward
     # will consume it.
@@ -523,12 +646,17 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
-        ] + ([] if stream else [pltpu.VMEM((bq, 128), jnp.float32)]),
+        ] + ([pltpu.VMEM((bq, 128), jnp.float32)]  # default: m; bound: vc
+             if (not stream) or poison_mode == "vc" else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
     )(*inputs)
-    return (outs[0], outs[1]) if with_lse else (outs[0], None)
+    out = outs[0]
+    lse = outs[1] if with_lse else None
+    if poison_mode == "wrapper":
+        out = _sbound_wrapper_poison(out, lse, kv_mask, causal)
+    return out, lse
 
 
 def _drop_arg(kernel, idx):
@@ -1018,39 +1146,51 @@ def _gqa_fwd_kernel_stream(q_ref, k_ref, v_ref, kvm_ref, mh_ref, o_ref,
 
 
 def _stream_mode() -> str:
-    """KDSS_FLASH_STREAM selects the streaming fwd kernels:
+    """KDSS_FLASH_STREAM selects the fwd kernel family:
 
-    * ``"0"`` (default) — the carried-online-softmax kernel.
+    * ``"bound"`` (DEFAULT since r4) — streaming kernel fed by a
+      per-(batch, head) SCALAR Cauchy-Schwarz bound
+      ``scale*max|q|*max|k| - 40`` via SMEM (no second pass, fastest:
+      a scalar splat keeps exp fused into the QK epilogue where ANY
+      per-row vector costs ~0.46 ms/pass in lane-broadcast
+      serialization — measured 2.28x fwd / -25% fwd+bwd at production
+      shapes, +3.8% on the 7B KD step, see PERF_NOTES).  Exact math
+      within its envelope: a row degrades ONLY when every one of its
+      scores sits > ~87+40 below the head's bound (~e^127 dynamic
+      range between the group's hottest pair and the row's best score
+      — far outside LN'd-activation norms; random-orthogonal data at
+      ~4x unit scale is the documented trip point).  Degradation is
+      LOUD, never silent: such rows are poisoned to NaN in-kernel
+      (fully-masked rows keep the all-kernels exact-0 convention), so
+      a wrong finite answer is impossible — fall back to ``0`` or
+      ``max`` if NaNs appear.
+    * ``"0"`` (or ``"off"``) — the carried-online-softmax kernel.
+      Exact for any input magnitude; the pre-r4 default.
     * ``"max"`` (or ``"1"``) — streaming kernel fed by an EXACT per-row
       masked score max from a separate pass.  Exact for any input
       magnitude — standard flash numerics — but measured slightly
-      SLOWER than the default (0.860 vs 0.776 ms/pass: the per-row
-      vector in exp's path re-serializes, and the extra pass isn't
-      free).  Validation reference, not a perf mode.
-    * ``"bound"`` — streaming kernel fed by a per-(batch, head) SCALAR
-      Cauchy-Schwarz bound ``scale*max|q|*max|k| - 40`` via SMEM (no
-      second pass, fastest: a scalar splat keeps exp fused into the QK
-      epilogue where ANY per-row vector costs ~0.46 ms/pass in
-      lane-broadcast serialization — measured, see PERF_NOTES).  Rows
-      underflow to exact 0 when every score sits > ~87+40 below the
-      head's bound; random-orthogonal data at ~4x unit scale already
-      trips this (tests pin it), so this mode is for inputs with
-      known-sane norms (LN'd activations are).
+      SLOWER than ``0`` (0.860 vs 0.776 ms/pass: the per-row vector in
+      exp's path re-serializes, and the extra pass isn't free).
+      Validation reference, not a perf mode.
 
     Read at TRACE time (set before the first traced call — the jit cache
     keeps whichever kernel was traced, same convention as
     KDSS_FLASH_PRESCALE/KDSS_FLASH_ILP)."""
-    v = os.environ.get("KDSS_FLASH_STREAM", "0")
+    v = os.environ.get("KDSS_FLASH_STREAM", "bound")
     if v == "1":
         return "max"
+    if v == "off":
+        return "off"
     if v not in ("0", "max", "bound"):
-        raise ValueError(f"KDSS_FLASH_STREAM={v!r}: use 0, max/1, or bound")
+        raise ValueError(
+            f"KDSS_FLASH_STREAM={v!r}: use 0/off, max/1, or bound")
     return "off" if v == "0" else v
 
 
 def _gqa_fwd_kernel_sbound(q_ref, k_ref, v_ref, kvm_ref, c_ref, o_ref,
-                           lse_ref, acc_ref, l_ref,
-                           *, causal, scale, g, bq, bk, n_kv):
+                           lse_ref, acc_ref, l_ref, vc_ref,
+                           *, causal, scale, g, bq, bk, n_kv,
+                           poison_mode):
     """Scalar-shift streaming fwd (KDSS_FLASH_STREAM=bound), GQA path.
 
     The r4 per-phase ablation first showed the default kernel spends
@@ -1072,10 +1212,11 @@ def _gqa_fwd_kernel_sbound(q_ref, k_ref, v_ref, kvm_ref, c_ref, o_ref,
     per-ROW against the GROUP's scalar: a row returns exact-0 (like a
     fully-masked row) iff its true max score sits > ~87+40 below c —
     requiring ~e^127 dynamic range between the group's hottest and the
-    row's best score, far outside anything LN'd activations produce
-    (tests pin the envelope and the loud-zero failure mode).  Masked
-    columns produce exp(MASK_VALUE - c) == 0 exactly, so no masked-row
-    where pass is needed at all.
+    row's best score, far outside anything LN'd activations produce.
+    Underflowed rows are poisoned to NaN in finalize (never a silent
+    zero; fully-masked rows — tracked per row in vc_ref when a kv mask
+    exists — keep the exact-0 convention; tests pin both).  Masked
+    columns produce exp(MASK_VALUE - c) == 0 exactly.
     """
     iq, ik = pl.program_id(2), pl.program_id(3)
 
@@ -1083,6 +1224,8 @@ def _gqa_fwd_kernel_sbound(q_ref, k_ref, v_ref, kvm_ref, c_ref, o_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         l_ref[:] = jnp.zeros_like(l_ref)
+        if poison_mode == "vc":
+            vc_ref[:] = jnp.zeros_like(vc_ref)
 
     # c rides as a FULL [B, H] SMEM array (a blocked (1,1) spec violates
     # the mosaic last-two-dims tiling check for general B/H)
@@ -1097,8 +1240,17 @@ def _gqa_fwd_kernel_sbound(q_ref, k_ref, v_ref, kvm_ref, c_ref, o_ref,
         ), scale)
         if masked:
             kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
-            s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
-                          kv_mask_blk=kvm)
+            if poison_mode == "vc":  # need the attend-bool for vc
+                mb = _gqa_mask_bool(causal=causal, iq=iq, ik=ik, g=g,
+                                    bq=bq, bk=bk, kv_mask_blk=kvm)
+                if mb is not True:
+                    s = jnp.where(mb, s, MASK_VALUE)
+                _sbound_track_valid(vc_ref, mb)
+            else:
+                s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq,
+                              bk=bk, kv_mask_blk=kvm)
+        elif poison_mode == "vc":
+            _sbound_track_valid(vc_ref, True)
         p = jnp.exp(s - c)  # masked columns: exp(MASK_VALUE - c) == 0
         l_ref[:] = l_ref[:] + jnp.broadcast_to(
             jnp.sum(p, axis=1, keepdims=True), l_ref.shape)
@@ -1114,8 +1266,8 @@ def _gqa_fwd_kernel_sbound(q_ref, k_ref, v_ref, kvm_ref, c_ref, o_ref,
         l = l_ref[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         d = o_ref.shape[-1]
-        o_ref[0, 0] = (acc_ref[:] / l_safe).reshape(g, bq, d).astype(
-            o_ref.dtype)
+        o = _sbound_finalize_o(acc_ref[:], l, vc_ref, poison_mode)
+        o_ref[0, 0] = o.reshape(g, bq, d).astype(o_ref.dtype)
         if lse_ref is not None:  # fwd-only calls skip the lse output
             lse = jnp.where(l == 0.0, MASK_VALUE, c + jnp.log(l_safe))
             lse_ref[0, 0] = jnp.broadcast_to(
@@ -1520,10 +1672,16 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
             warnings.warn(
                 "KDSS_FLASH_STREAM=1 takes precedence over KDSS_FLASH_ILP=1"
                 " — the ILP fwd variant is not dispatched.", stacklevel=2)
+    poison_mode = None
     if mode == "bound":
+        poison_mode = ("dead" if kv_mask is None
+                       else ("vc" if not with_lse else "wrapper"))
         kernel = functools.partial(
             _gqa_fwd_kernel_sbound,
-            causal=causal, scale=scale, g=g, bq=bq, bk=bk, n_kv=n_kv)
+            causal=causal, scale=scale, g=g, bq=bq, bk=bk, n_kv=n_kv,
+            poison_mode=poison_mode)
+        if poison_mode != "vc":  # vc scratch only exists in "vc" mode
+            kernel = _drop_arg(kernel, 9)
     elif stream:
         kernel = functools.partial(
             _gqa_fwd_kernel_stream,
@@ -1581,7 +1739,8 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
         scratch = [
             pltpu.VMEM((g * bq, d), jnp.float32),
             pltpu.VMEM((g * bq, 128), jnp.float32),
-        ]
+        ] + ([pltpu.VMEM((g * bq, 128), jnp.float32)]  # row-validity (vc)
+             if poison_mode == "vc" else [])
     else:
         scratch = [
             pltpu.VMEM((g * bq, d), jnp.float32),
@@ -1600,7 +1759,11 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
                                  "arbitrary"),
         ),
     )(*inputs)
-    return (outs[0], outs[1]) if with_lse else (outs[0], None)
+    out = outs[0]
+    lse = outs[1] if with_lse else None
+    if poison_mode == "wrapper":
+        out = _sbound_wrapper_poison(out, lse, kv_mask, causal)
+    return out, lse
 
 
 def _flash_gqa_vjp_fwd(q, k, v, kv_mask, causal, scale):

@@ -391,8 +391,9 @@ def test_stream_fully_masked_rows_zero(monkeypatch, mode):
 def test_stream_large_scale_exact_max_holds_bound_degrades(monkeypatch):
     """4x-magnitude random inputs: the Cauchy-Schwarz bound overshoots the
     true max by ~130 (random vectors are near-orthogonal), beyond the f32
-    exp range — mode="bound" rows underflow to 0 (PINNED: the documented
-    degrade), while mode="max" (exact row max) stays at parity."""
+    exp range — mode="bound" rows degrade to NaN (PINNED: the documented
+    LOUD failure — never a silent finite answer), while mode="max" (exact
+    row max) stays at parity."""
     b, sq, hq, hkv, d = 1, 256, 4, 2, 64
     q, k, v = _mk(b, sq, sq, hq, hkv, d, seed=7)
     q, k = q * 4.0, k * 4.0
@@ -405,15 +406,20 @@ def test_stream_large_scale_exact_max_holds_bound_degrades(monkeypatch):
         o_bnd = flash_attention(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(o_max), np.asarray(o_ref),
                                atol=5e-5, rtol=5e-5)
-    zero_rows = (np.abs(np.asarray(o_bnd)).max(axis=-1) == 0).mean()
-    assert zero_rows > 0.9  # the degrade is loud-zero, not silent garbage
+    o_bnd = np.asarray(o_bnd)
+    nan_rows = np.isnan(o_bnd).all(axis=-1)
+    assert nan_rows.mean() > 0.9   # the degrade is loud-NaN
+    # surviving rows are EXACT, not garbage
+    ok = ~nan_rows
+    np.testing.assert_allclose(o_bnd[ok], np.asarray(o_ref)[ok],
+                               atol=5e-5, rtol=5e-5)
 
 
-def test_stream_beyond_envelope_rows_degrade_to_zero(monkeypatch):
+def test_stream_beyond_envelope_rows_degrade_to_nan(monkeypatch):
     """PINS mode="bound"'s documented failure mode: rows whose every score
     sits >~127 below the row's C-S bound (here |q||k|*scale ~ 11k with
-    q ⟂ k, true scores 0) underflow l to 0 and return 0 like fully-masked
-    rows — they must NOT silently return garbage.  mode="max" is exact on
+    q ⟂ k, true scores 0) underflow l to 0 and are POISONED to NaN —
+    loud, never a silently-wrong finite answer.  mode="max" is exact on
     the same input."""
     b, sq, hq, hkv, d = 1, 256, 2, 2, 64
     q = np.zeros((b, sq, hq, d), dtype=np.float32)
@@ -433,4 +439,54 @@ def test_stream_beyond_envelope_rows_degrade_to_zero(monkeypatch):
     assert np.any(np.asarray(o_ref))        # exact kernels: uniform softmax
     np.testing.assert_allclose(np.asarray(o_max), np.asarray(o_ref),
                                atol=5e-5, rtol=5e-5)
-    assert not np.any(np.asarray(o_bnd))    # bound: documented degrade
+    assert np.all(np.isnan(np.asarray(o_bnd)))  # bound: loud degrade
+
+
+def test_stream_bound_is_the_default_and_masked_rows_coexist(monkeypatch):
+    """The r4 default flip, pinned end-to-end: with KDSS_FLASH_STREAM
+    unset the sbound kernel is dispatched, fully-masked rows return
+    exact 0 (all-kernels convention) while valid-but-underflowed rows in
+    the SAME call are NaN-poisoned — the vc row-validity tracking
+    distinguishes the two."""
+    import knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.flash_attention as fa
+
+    monkeypatch.delenv("KDSS_FLASH_STREAM", raising=False)
+    assert fa._stream_mode() == "bound"
+
+    b, sq, hq, hkv, d = 1, 256, 4, 2, 64  # grouped -> the GQA sbound path
+    q = np.zeros((b, sq, hq, d), dtype=np.float32)
+    k = np.zeros((b, sq, hkv, d), dtype=np.float32)
+    v = np.random.default_rng(1).normal(size=(b, sq, hkv, d)).astype(
+        np.float32)
+    q[..., 0] = 300.0   # orthogonal to every key -> underflow vs the bound
+    k[..., 1] = 300.0
+    mask = np.ones((b, sq), dtype=bool)
+    mask[:, 128:] = False  # columns gone; rows stay valid (non-causal)
+    q, k, v, mask = map(jnp.asarray, (q, k, v, mask))
+
+    calls = []
+    orig = fa._gqa_fwd_kernel_sbound
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fa, "_gqa_fwd_kernel_sbound", spy)
+    with pltpu.force_tpu_interpret_mode():
+        # valid rows, underflowed scores -> NaN
+        o_under = flash_attention(q, k, v, mask=mask, causal=False)
+        # no attendable column at all -> exact 0
+        o_dead = flash_attention(
+            q, k, v, mask=jnp.zeros((b, sq), dtype=bool), causal=False)
+    assert calls, "default dispatch must hit the sbound kernel"
+    assert np.all(np.isnan(np.asarray(o_under)))
+    assert not np.any(np.asarray(o_dead))
+
+    # training path (with_lse): the WRAPPER poison (lse + row validity)
+    # must fire the same way — NaN loss, never a silent finite answer
+    def loss(q_):
+        return flash_attention(q_, k, v, mask=mask, causal=False).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        val = jax.value_and_grad(loss)(q)[0]
+    assert np.isnan(float(val))
