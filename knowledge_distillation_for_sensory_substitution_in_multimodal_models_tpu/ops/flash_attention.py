@@ -36,6 +36,19 @@ from ..parallel.mesh import active_abstract_mesh as _abstract_mesh
 # rows (same approach as jax.experimental.pallas.ops flash kernels).
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# Bound-mode dead-row threshold (r5, advisor finding): ``l == 0`` alone has
+# a gray band — a row whose max score sits ~87-104 nats below the head
+# scalar c produces f32-subnormal p that the ``p.astype(bf16)`` cast (or a
+# flush-to-zero VPU) drops from acc while the f32 l stays > 0, evading the
+# poison and returning a silently degraded finite output.  Poisoning on
+# ``l < 1e-30`` instead closes the band: a row trips it only when its best
+# score sits > ~69 nats below c (> ~109 below the raw Cauchy-Schwarz bound,
+# since c = bound - 40), still ~e^40 outside anything LN'd activations
+# produce, while every row that could have had flushed contributions is
+# caught.  Only the sbound kernels use this — the max-shift kernels keep
+# the exact ``l >= 1`` invariant (p_max = 1 at the true row max).
+_SBOUND_DEAD_L = 1e-30
+
 
 def _scaled(s: jnp.ndarray, scale: float) -> jnp.ndarray:
     """``s * scale`` unless scale is statically 1.0 (prescaled q): the
@@ -272,8 +285,13 @@ def _sbound_finalize_o(acc, l, vc_ref, poison_mode):
       calls, not on the training path).
     * ``"wrapper"`` — with_lse call WITH a kv mask: the wrapper poisons
       from lse + an XLA row-validity mask instead (fuses into the
-      surrounding graph for free); the kernel does nothing."""
-    dead = l == 0.0
+      surrounding graph for free); the kernel does nothing.
+
+    Dead = ``l < _SBOUND_DEAD_L`` (not ``== 0``): near-underflow rows
+    whose p flushed out of acc but left a subnormal-scale f32 l must
+    poison too, never return a degraded finite answer (see the
+    constant's comment)."""
+    dead = l < _SBOUND_DEAD_L
     l_safe = jnp.where(dead, 1.0, l)
     o = acc / l_safe
     if poison_mode == "dead":
@@ -315,6 +333,38 @@ def _sbound_wrapper_poison(out, lse, kv_mask, causal):
     vshape = valid.shape[:1] + (1,) * (out.ndim - 3) + (sq, 1)
     poison = jnp.logical_and(dead, valid.reshape(vshape))
     return jnp.where(poison, jnp.asarray(float("nan"), out.dtype), out)
+
+
+def _neutralize_dead_rows(lse_slim, delta):
+    """Make dead rows inert before they reach the backward kernels.
+
+    Dead rows — fully-masked, or bound-mode underflow-poisoned — carry
+    ``lse == MASK_VALUE`` and (under bound mode) a NaN-poisoned residual
+    ``out``.  Two failure modes follow if fed to the kernels raw:
+
+    * ``p = exp(s - MASK_VALUE) = exp(s + 2.4e38) = inf`` on any block.
+      The kernels' old masked-block-only row guard assumed such rows can
+      only appear in masked blocks — true for fully-masked rows, FALSE
+      under bound mode, where a valid row underflows in clean blocks too
+      (zero-padded q rows trip this whenever the head scalar c exceeds
+      ~87, i.e. on fully in-envelope data).
+    * ``delta = sum(g * out) = 0 * NaN = NaN`` from the poisoned
+      residual, which then multiplies into dk/dv for ALL tokens of the
+      block while the sliced loss stays finite — silent gradient
+      corruption.
+
+    Fix once in O(S) wrapper space instead of a per-block VPU pass:
+    clamp dead lse to +0.7*f32max so ``p = exp(s - lse)`` underflows to
+    EXACT 0 for any finite or masked s (s - lse <= -1.7e38; masked
+    columns overflow to -inf; exp -> 0 either way), and zero dead delta
+    so ``ds = p * (dp - delta)`` is 0 everywhere.  This also covers
+    fully-masked rows, so the kernels carry no row guard at all (one
+    fewer [rows, bk] f32 select on every masked block of all four
+    backward kernels)."""
+    dead = lse_slim == MASK_VALUE
+    lse_slim = jnp.where(dead, -MASK_VALUE, lse_slim)
+    delta = jnp.where(dead, 0.0, delta)
+    return lse_slim, delta
 
 
 def _fwd_kernel_sbound(
@@ -382,11 +432,12 @@ def _fwd_kernel_sbound(
     @pl.when(ik == n_kv - 1)
     def _finalize():
         l = l_ref[:, 0:1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
+        dead = l < _SBOUND_DEAD_L  # see _SBOUND_DEAD_L: gray-band rows too
+        l_safe = jnp.where(dead, 1.0, l)
         o = _sbound_finalize_o(acc_ref[:], l, vc_ref, poison_mode)
         o_ref[0, 0] = o.astype(o_ref.dtype)
         if lse_ref is not None:
-            lse = jnp.where(l == 0.0, MASK_VALUE, c + jnp.log(l_safe))
+            lse = jnp.where(dead, MASK_VALUE, c + jnp.log(l_safe))
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -417,11 +468,10 @@ def _dq_kernel(
             s = _block_mask(
                 s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
             )
+        # dead rows (fully-masked or bound-underflowed) need no guard
+        # here: the wrapper clamped their lse to +huge, so p == 0 exactly
+        # on every block (_neutralize_dead_rows)
         p = jnp.exp(s - lse)
-        # fully-masked rows (lse == MASK_VALUE) cannot appear in a clean
-        # block's rows — skip the full-block select there
-        if masked:
-            p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -466,11 +516,9 @@ def _dkv_kernel(
             s = _block_mask(
                 s, causal=causal, iq=iq, ik=ik, bq=bq, bk=bk, kv_mask_blk=kvm
             )
+        # dead rows: p == 0 exactly via the wrapper's lse clamp
+        # (_neutralize_dead_rows) — no in-kernel guard needed
         p = jnp.exp(s - lse)  # [bq, bk] f32
-        # fully-masked rows (lse == MASK_VALUE) cannot appear in a clean
-        # block's rows — skip the full-block select there
-        if masked:
-            p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
         p_lo = p.astype(do.dtype)
         dv_acc[:] += jax.lax.dot_general(
             p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -687,7 +735,6 @@ def _flash_vjp_fwd(q, k, v, kv_mask, causal, scale):
 
 def _flash_vjp_bwd(causal, scale, residuals, g):
     q, k, v, kv_mask, out, lse_slim = residuals
-    lse = jnp.broadcast_to(lse_slim, (*lse_slim.shape[:-1], 128))
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     group = hq // hkv
@@ -697,6 +744,8 @@ def _flash_vjp_bwd(causal, scale, residuals, g):
     delta = jnp.sum(
         g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
     )  # [b, hq, sq, 1]
+    lse_slim, delta = _neutralize_dead_rows(lse_slim, delta)
+    lse = jnp.broadcast_to(lse_slim, (*lse_slim.shape[:-1], 128))
     delta = jnp.broadcast_to(delta, (b, hq, sq, 128))
 
     has_mask = kv_mask is not None
@@ -802,6 +851,18 @@ def flash_attention(
     Grouped-query shapes dispatch to the head-batched GQA variant (one
     program per kv-head group instead of per q head; +18% step speed
     measured) unless ``KDSS_FLASH_GQA=0``.
+
+    **Numerical envelope (KDSS_FLASH_STREAM=bound, the default)**: unlike
+    torch SDPA (exact at any magnitude), the default fwd kernel shifts
+    scores by a per-(batch, head-group) Cauchy-Schwarz scalar, which is
+    exact unless a row's best score sits > ~69 nats below that scalar
+    (~e^109 dynamic range vs the group's hottest q/k pair — far outside
+    LN'd-activation norms, but reachable with raw/unnormalized probes at
+    ~4x unit scale).  Out-of-envelope rows are LOUDLY poisoned to NaN,
+    never silently wrong.  If NaNs appear, set ``KDSS_FLASH_STREAM=0``
+    (carried online softmax) or ``=max`` (exact two-pass row max) before
+    the first traced call — both are exact at any magnitude.  See
+    :func:`_stream_mode`.
     """
     if _GQA_BATCH and q.shape[2] != k.shape[2]:
         return flash_attention_gqa(q, k, v, mask=mask, causal=causal,
@@ -1155,15 +1216,18 @@ def _stream_mode() -> str:
       per-row vector costs ~0.46 ms/pass in lane-broadcast
       serialization — measured 2.28x fwd / -25% fwd+bwd at production
       shapes, +3.8% on the 7B KD step, see PERF_NOTES).  Exact math
-      within its envelope: a row degrades ONLY when every one of its
-      scores sits > ~87+40 below the head's bound (~e^127 dynamic
-      range between the group's hottest pair and the row's best score
-      — far outside LN'd-activation norms; random-orthogonal data at
-      ~4x unit scale is the documented trip point).  Degradation is
-      LOUD, never silent: such rows are poisoned to NaN in-kernel
-      (fully-masked rows keep the all-kernels exact-0 convention), so
-      a wrong finite answer is impossible — fall back to ``0`` or
-      ``max`` if NaNs appear.
+      within its envelope: a row is poisoned once every one of its
+      scores sits > ~69 below the head scalar c (> ~109 below the raw
+      bound; the r5 threshold ``l < _SBOUND_DEAD_L`` — earlier than
+      the ~87-nat hard-underflow point so the subnormal/bf16-flush
+      gray band poisons too instead of silently degrading).  ~e^109
+      dynamic range between the group's hottest pair and the row's
+      best score is far outside LN'd-activation norms;
+      random-orthogonal data at ~4x unit scale is the documented trip
+      point.  Degradation is LOUD, never silent: such rows are
+      poisoned to NaN (fully-masked rows keep the all-kernels exact-0
+      convention), so a wrong finite answer is impossible — fall back
+      to ``0`` or ``max`` if NaNs appear.
     * ``"0"`` (or ``"off"``) — the carried-online-softmax kernel.
       Exact for any input magnitude; the pre-r4 default.
     * ``"max"`` (or ``"1"``) — streaming kernel fed by an EXACT per-row
@@ -1209,14 +1273,17 @@ def _gqa_fwd_kernel_sbound(q_ref, k_ref, v_ref, kvm_ref, c_ref, o_ref,
     e^-c factor cancels in acc/l and lse = c + log(l) is the same value
     — standard online-softmax algebra with a constant m.  Overflow is
     impossible (exp <= e^40, so l <= S*e^40 << f32 max).  Underflow is
-    per-ROW against the GROUP's scalar: a row returns exact-0 (like a
-    fully-masked row) iff its true max score sits > ~87+40 below c —
-    requiring ~e^127 dynamic range between the group's hottest and the
-    row's best score, far outside anything LN'd activations produce.
-    Underflowed rows are poisoned to NaN in finalize (never a silent
-    zero; fully-masked rows — tracked per row in vc_ref when a kv mask
-    exists — keep the exact-0 convention; tests pin both).  Masked
-    columns produce exp(MASK_VALUE - c) == 0 exactly.
+    per-ROW against the GROUP's scalar: a row is treated as dead once
+    ``l < _SBOUND_DEAD_L`` — its best score sits > ~69 below c (> ~109
+    below the raw bound), requiring ~e^109 dynamic range between the
+    group's hottest and the row's best score, far outside anything
+    LN'd activations produce.  The threshold (not ``l == 0``) also
+    catches the subnormal gray band where p flushes out of the bf16
+    acc while f32 l stays > 0 — those rows must poison, not silently
+    degrade.  Dead valid rows are poisoned to NaN in finalize (never a
+    silent zero; fully-masked rows — tracked per row in vc_ref when a
+    kv mask exists — keep the exact-0 convention; tests pin both).
+    Masked columns produce exp(MASK_VALUE - c) == 0 exactly.
     """
     iq, ik = pl.program_id(2), pl.program_id(3)
 
@@ -1264,12 +1331,13 @@ def _gqa_fwd_kernel_sbound(q_ref, k_ref, v_ref, kvm_ref, c_ref, o_ref,
     @pl.when(ik == n_kv - 1)
     def _():
         l = l_ref[:, 0:1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
+        dead = l < _SBOUND_DEAD_L  # see _SBOUND_DEAD_L: gray-band rows too
+        l_safe = jnp.where(dead, 1.0, l)
         d = o_ref.shape[-1]
         o = _sbound_finalize_o(acc_ref[:], l, vc_ref, poison_mode)
         o_ref[0, 0] = o.reshape(g, bq, d).astype(o_ref.dtype)
         if lse_ref is not None:  # fwd-only calls skip the lse output
-            lse = jnp.where(l == 0.0, MASK_VALUE, c + jnp.log(l_safe))
+            lse = jnp.where(dead, MASK_VALUE, c + jnp.log(l_safe))
             lse_ref[0, 0] = jnp.broadcast_to(
                 lse, (g * bq, 128)).reshape(g, bq, 128)
 
@@ -1516,11 +1584,9 @@ def _gqa_dq_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
             kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
             s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
                           kv_mask_blk=kvm)
+        # dead rows: p == 0 exactly via the wrapper's lse clamp
+        # (_neutralize_dead_rows) — no in-kernel guard needed
         p = jnp.exp(s - lse)
-        # fully-masked rows (lse == MASK_VALUE) cannot appear in a
-        # clean block's rows — skip the full-block select there
-        if masked:
-            p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -1563,11 +1629,9 @@ def _gqa_dkv_kernel(q_ref, k_ref, v_ref, kvm_ref, do_ref, lse_ref, delta_ref,
             kvm = kvm_ref[0, 0:1, :] != 0 if kvm_ref is not None else None
             s = _gqa_mask(s, causal=causal, iq=iq, ik=ik, g=g, bq=bq, bk=bk,
                           kv_mask_blk=kvm)
+        # dead rows: p == 0 exactly via the wrapper's lse clamp
+        # (_neutralize_dead_rows) — no in-kernel guard needed
         p = jnp.exp(s - lse)
-        # fully-masked rows (lse == MASK_VALUE) cannot appear in a
-        # clean block's rows — skip the full-block select there
-        if masked:
-            p = jnp.where(lse > MASK_VALUE * 0.5, p, 0.0)
         # p^T @ do sums over ALL group rows: the GQA dk/dv reduction is free
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -1777,13 +1841,14 @@ def _flash_gqa_vjp_fwd(q, k, v, kv_mask, causal, scale):
 
 def _flash_gqa_vjp_bwd(causal, scale, res, gout):
     q, k, v, kv_mask, out, lse_slim = res
-    lse = jnp.broadcast_to(lse_slim, (*lse_slim.shape[:-1], 128))
     b, hkv, g, sq, d = q.shape
     skv = k.shape[2]
     bq, bk = _gqa_pick_bq(sq, g), _pick_block_big(skv, _GQA_BK)
     n_q, n_kv = sq // bq, skv // bk
     delta = jnp.sum(gout.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1, keepdims=True)
+    lse_slim, delta = _neutralize_dead_rows(lse_slim, delta)
+    lse = jnp.broadcast_to(lse_slim, (*lse_slim.shape[:-1], 128))
     delta = jnp.broadcast_to(delta, (b, hkv, g, sq, 128))
     has_mask = kv_mask is not None
     kvm = kv_mask.astype(jnp.int8)[:, None, :] if has_mask else None

@@ -490,3 +490,96 @@ def test_stream_bound_is_the_default_and_masked_rows_coexist(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         val = jax.value_and_grad(loss)(q)[0]
     assert np.isnan(float(val))
+
+
+# ---------------------------------------------------------------------------
+# r5 advisor regressions: bound-mode dead rows in the BACKWARD, and the
+# near-underflow gray band in the forward.
+# ---------------------------------------------------------------------------
+
+
+def _aligned_qkv(b, sq, skv, hq, hkv, d, a, seed=3):
+    """q/k rows all along e0 with magnitude ``a``: every real score is
+    exactly scale*a^2 (== the Cauchy-Schwarz bound, tight), so the bound
+    kernel is exact on real rows while the head scalar c = scale*a^2 - 40
+    is large enough that ZERO rows (q padding) underflow dead."""
+    rng = np.random.default_rng(seed)
+    q = np.zeros((b, sq, hq, d), dtype=np.float32)
+    k = np.zeros((b, skv, hkv, d), dtype=np.float32)
+    q[..., 0] = a
+    k[..., 0] = a
+    v = rng.normal(size=(b, skv, hkv, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("sq,skv,hq,hkv", [
+    (200, 256, 2, 2),   # base path, kv aligned -> in-kernel "dead" poison
+    (200, 200, 2, 2),   # base path, kv padded -> auto mask, wrapper poison
+    (200, 200, 4, 2),   # GQA packed-pair path, wrapper poison
+])
+def test_bound_padded_q_rows_keep_grads_finite(monkeypatch, sq, skv, hq, hkv):
+    """ADVICE r4 (high): zero-padded q rows (sq not block-aligned) underflow
+    dead whenever the head scalar c > ~69, carrying lse == MASK_VALUE and a
+    NaN-poisoned residual into the backward.  Before the r5 wrapper fix
+    (_neutralize_dead_rows) the clean-block p = exp(s - MASK_VALUE) = inf
+    and delta = 0 * NaN made dk/dv NaN for ALL tokens while the sliced loss
+    stayed finite — silent gradient corruption on fully in-envelope data.
+    Pins: bound-mode grads finite AND equal to the exact kernel's."""
+    d = 64
+    # scale*a^2 = 220 -> c = 180 >> 69: zero rows are far past the poison
+    # threshold; real rows sit exactly AT the bound (gap 0), fully exact.
+    q, k, v = _aligned_qkv(1, sq, skv, hq, hkv, d, a=np.sqrt(220.0 * 8))
+
+    def loss(q_, k_, v_):
+        o = flash_attention(q_, k_, v_, causal=False)
+        return (o * jnp.sin(o)).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("KDSS_FLASH_STREAM", "0")
+        l_ref = loss(q, k, v)
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        monkeypatch.setenv("KDSS_FLASH_STREAM", "bound")
+        l_bnd = loss(q, k, v)
+        g_bnd = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert np.isfinite(float(l_bnd))
+    np.testing.assert_allclose(float(l_bnd), float(l_ref), rtol=1e-5)
+    for name, a_, b_ in zip("qkv", g_ref, g_bnd):
+        b_ = np.asarray(b_)
+        assert np.all(np.isfinite(b_)), f"d{name} contains non-finite values"
+        np.testing.assert_allclose(b_, np.asarray(a_), atol=5e-4, rtol=5e-4,
+                                   err_msg=f"d{name}")
+
+
+def test_bound_gray_band_rows_poison_not_silent(monkeypatch):
+    """ADVICE r4 (medium): rows whose best score sits ~69-104 nats below c
+    used to evade the l == 0 poison (f32 l stays > 0 while p flushes out of
+    the accumulator on hardware) and return a silently degraded finite
+    output.  The r5 threshold l < _SBOUND_DEAD_L poisons them.  Three row
+    populations in one call: hot rows exact, mildly-cold rows (gap 60)
+    exact, gray-band rows (gap 80) NaN."""
+    b, s, h, d = 1, 256, 2, 64
+    scale = d ** -0.5
+    a = float(np.sqrt(220.0 / scale))     # scale*a^2 = 220, c = 180
+    q = np.zeros((b, s, h, d), dtype=np.float32)
+    k = np.zeros((b, s, h, d), dtype=np.float32)
+    k[..., 0] = a
+    q[..., 0] = a                          # hot rows: score 220 == c + 40
+    q[:, 10, :, 0] = a * (120.0 / 220.0)   # cold row: score 120, gap -60
+    q[:, 20, :, 0] = a * (100.0 / 220.0)   # gray row: score 100, gap -80
+    v = np.random.default_rng(9).normal(size=(b, s, h, d)).astype(np.float32)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("KDSS_FLASH_STREAM", "0")
+        o_ref = np.asarray(flash_attention(q, k, v, causal=False))
+        monkeypatch.setenv("KDSS_FLASH_STREAM", "bound")
+        o_bnd = np.asarray(flash_attention(q, k, v, causal=False))
+
+    # gray-band row: loud NaN (interpret mode preserves the subnormal l>0
+    # that used to evade the poison — the threshold must catch it anyway)
+    assert np.all(np.isnan(o_bnd[:, 20])), "gray-band row must poison"
+    # every other row (hot + mildly cold): exact
+    keep = np.ones(s, dtype=bool)
+    keep[20] = False
+    np.testing.assert_allclose(o_bnd[:, keep], o_ref[:, keep],
+                               atol=5e-5, rtol=5e-5)
