@@ -194,3 +194,151 @@ def chunked_kd_terms(
     if need_loca:
         out["loca"] = loca_sum / denom_el * (temperature**2)
     return out
+
+
+def _merge_last(carry_pos, carry_val, pos, val):
+    """Merge two last-occurrence (position, value) column tables: keep the
+    entry with the LATER flat position (positions are unique, -1 = none)."""
+    take = pos > carry_pos
+    return jnp.maximum(carry_pos, pos), jnp.where(take, val, carry_val)
+
+
+def chunked_faithful_loca(
+    student_hidden: jnp.ndarray,
+    student_head: jnp.ndarray,
+    labels: jnp.ndarray,
+    teacher_hidden: jnp.ndarray,
+    teacher_head: jnp.ndarray,
+    *,
+    temperature: float = 1.0,
+    alpha: float = 0.8,
+    chunk_size: int = 256,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Reference-faithful LoCa without materializing [B, S, V] logits.
+
+    The faithful variant (`logit_based/OnlineKnowledgeDistillationLLavaOne
+    Vision.py:240-252`; semantics pinned against torch in
+    tests/test_losses.py::test_loca_faithful_matches_torch_fancy_indexing)
+    replicates the reference's full-tensor fancy-indexing writes: for each
+    label / 2nd-best vocab id it overwrites that WHOLE vocab column across
+    every (b, s) position, last write (in [B, S] row-major flat order)
+    wins.  That global structure fits in two [V] column tables —
+    (last position, written value) for the label writes and the 2nd-best
+    writes — so the O(S·V) tensor the materialized path needs
+    (train/step.py r4: [B,S,152k] f32, cannot run at production shapes on
+    one chip) reduces to a two-pass sequence-chunked scan:
+
+      pass 1 (teacher-only, no grads): per chunk, compute the teacher
+        prob block, per-position target/2nd-best write values, and fold
+        the chunk's last-occurrence tables into the carried [V] tables
+        via scatter-max on GLOBAL flat positions (b * S_pad + s preserves
+        the reference's b-major, s-minor write order).
+      pass 2 (checkpointed, grads to the student): per chunk, rebuild
+        both prob blocks, apply the column tables (label writes first,
+        2nd-best overwrites — reference order), and accumulate the KL
+        sum.
+
+    Exactly the math of ``kd_losses.loca_loss(faithful_indexing=True)``
+    on materialized logits (parity-tested in tests/test_chunked.py),
+    including the quirk that invalid-label positions write column 0
+    unless NO valid label exists anywhere.
+    """
+    b, s_len, _ = student_hidden.shape
+    vs = student_head.shape[-1]
+    wt = teacher_head[:, :vs]  # pre-softmax prefix truncation
+    ws = student_head
+
+    sh = _pad_to_multiple(student_hidden, chunk_size, axis=1)
+    th = _pad_to_multiple(teacher_hidden, chunk_size, axis=1)
+    lbl = _pad_to_multiple(labels, chunk_size, axis=1, value=IGNORE_INDEX)
+    pv = _pad_to_multiple(
+        jnp.ones((b, s_len), dtype=bool), chunk_size, axis=1, value=False)
+    s_pad = sh.shape[1]
+    n_chunks = s_pad // chunk_size
+
+    def to_chunks(x):
+        return x.reshape(b, n_chunks, chunk_size, *x.shape[2:]).swapaxes(0, 1)
+
+    xs = {
+        "sh": to_chunks(sh), "th": to_chunks(th),
+        "lbl": to_chunks(lbl), "pv": to_chunks(pv),
+        "ci": jnp.arange(n_chunks, dtype=jnp.int32),
+    }
+
+    def t_probs(th_chunk):
+        t_logits = jnp.einsum(
+            "bcd,dv->bcv", th_chunk, wt, preferred_element_type=jnp.float32)
+        return jax.nn.softmax(t_logits / temperature, axis=-1)
+
+    def chunk_write_values(p_t, lbl_chunk):
+        """Per-position (label write value, 2nd-best id, 2nd-best value)."""
+        valid = lbl_chunk >= 0
+        safe = jnp.where(valid, lbl_chunk, 0)
+        p_gt = jnp.take_along_axis(p_t, safe[..., None], axis=-1)[..., 0]
+        _, top2 = jax.lax.top_k(p_t, 2)
+        k_idx = top2[..., 1]
+        p_k = jnp.take_along_axis(p_t, k_idx[..., None], axis=-1)[..., 0]
+        sc = alpha / (1.0 - p_gt + p_k)
+        target_val = 1.0 - sc * (p_t.sum(axis=-1) - p_gt)
+        return safe, target_val, k_idx, sc * p_k, valid
+
+    def chunk_last(idx, val, gpos, ci):
+        """Chunk-local last-occurrence tables on GLOBAL positions."""
+        flat_idx = idx.reshape(-1)
+        flat_val = val.reshape(-1)
+        flat_pos = gpos.reshape(-1)
+        last = jnp.full((vs,), -1, jnp.int32).at[flat_idx].max(flat_pos)
+        hit = last >= 0
+        # global pos -> chunk-local flat index (b-major stride s_pad)
+        g = jnp.where(hit, last, 0)
+        bi = g // s_pad
+        local = bi * chunk_size + (g - bi * s_pad - ci * chunk_size)
+        return last, jnp.where(hit, flat_val[local], 0.0)
+
+    def pass1(carry, chunk):
+        lbl_pos, lbl_val, k_pos, k_val, any_valid = carry
+        p_t = t_probs(chunk["th"])
+        safe, target_val, k_idx, k_write, valid = chunk_write_values(
+            p_t, chunk["lbl"])
+        gpos = (jnp.arange(b, dtype=jnp.int32)[:, None] * s_pad
+                + chunk["ci"] * chunk_size
+                + jnp.arange(chunk_size, dtype=jnp.int32)[None, :])
+        gpos = jnp.where(chunk["pv"], gpos, -1)  # padding never writes
+        cp, cv = chunk_last(safe, target_val, gpos, chunk["ci"])
+        lbl_pos, lbl_val = _merge_last(lbl_pos, lbl_val, cp, cv)
+        cp, cv = chunk_last(k_idx, k_write, gpos, chunk["ci"])
+        k_pos, k_val = _merge_last(k_pos, k_val, cp, cv)
+        any_valid = jnp.logical_or(
+            any_valid, jnp.any(jnp.logical_and(valid, chunk["pv"])))
+        return (lbl_pos, lbl_val, k_pos, k_val, any_valid), None
+
+    init = (
+        jnp.full((vs,), -1, jnp.int32), jnp.zeros((vs,), jnp.float32),
+        jnp.full((vs,), -1, jnp.int32), jnp.zeros((vs,), jnp.float32),
+        jnp.zeros((), bool),
+    )
+    (lbl_pos, lbl_val, k_pos, k_val, any_valid), _ = jax.lax.scan(
+        pass1, init,
+        jax.lax.stop_gradient({k: v for k, v in xs.items() if k != "sh"}))
+    # reference quirk: ignore-labels write column 0 via clamping — unless
+    # there is no valid label anywhere (kd_losses.loca_calibrated_probs)
+    lbl_hit = jnp.logical_and(lbl_pos >= 0, any_valid)
+    k_hit = k_pos >= 0
+
+    @functools.partial(jax.checkpoint, prevent_cse=False)
+    def pass2(carry, chunk):
+        p_t = t_probs(jax.lax.stop_gradient(chunk["th"]))
+        s_logits = jnp.einsum(
+            "bcd,dv->bcv", chunk["sh"], ws, preferred_element_type=jnp.float32)
+        p_s = jax.nn.softmax(s_logits / temperature, axis=-1)
+        log_p_s = jnp.log(jnp.clip(p_s, eps, None))
+        out = jnp.where(lbl_hit[None, None, :], lbl_val[None, None, :], p_t)
+        out = jnp.where(k_hit[None, None, :], k_val[None, None, :], out)
+        safe_log = jnp.log(jnp.where(out > 0, out, 1.0))
+        el = jnp.where(out > 0, out * (safe_log - log_p_s), 0.0)
+        scale = chunk["pv"].astype(jnp.float32)
+        return carry + (el.sum(-1) * scale).sum(), None
+
+    loca_sum, _ = jax.lax.scan(pass2, jnp.zeros((), jnp.float32), xs)
+    return loca_sum / (b * s_len * vs) * (temperature**2)

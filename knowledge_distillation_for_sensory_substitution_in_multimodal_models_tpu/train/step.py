@@ -37,8 +37,8 @@ import jax.numpy as jnp
 from flax.training.train_state import TrainState
 
 from ..configs import LlavaOnevisionConfig, TrainConfig
-from ..losses.chunked import chunked_kd_terms
-from ..losses.kd_losses import loca_loss, masked_ntxent_loss
+from ..losses.chunked import chunked_faithful_loca, chunked_kd_terms
+from ..losses.kd_losses import masked_ntxent_loss
 from ..models.llava_onevision import LlavaOnevision
 
 
@@ -250,20 +250,18 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
         terms = metrics
         if use_faithful_loca:
             # Reference-faithful LoCa (full-tensor fancy-indexing writes,
-            # SURVEY.md §2.5 #3) requires global logits: materialize them.
-            # O(S*V) memory — for accuracy-parity experiments at small
-            # batch/seq, not the production path.
-            s_logits = jnp.einsum(
-                "bsd,dv->bsv", s_hidden, ws, preferred_element_type=jnp.float32
-            )
-            t_logits = jnp.einsum(
-                "bsd,dv->bsv", th, dense_teacher_head(wt, th.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            metrics["loca"] = loca_loss(
-                t_logits, s_logits, labels,
+            # SURVEY.md §2.5 #3).  The global write structure reduces to
+            # two [V] column tables, so this runs seq-chunked — O(C*V)
+            # peak instead of the r4 materialized [B,S,152k] f32 that
+            # could not execute at production shapes on one chip
+            # (losses/chunked.py::chunked_faithful_loca; parity with the
+            # materialized kd_losses.loca_loss(faithful_indexing=True)
+            # pinned in tests/test_chunked.py).
+            metrics["loca"] = chunked_faithful_loca(
+                s_hidden, ws, labels,
+                th, dense_teacher_head(wt, th.dtype),
                 temperature=lc.temperature, alpha=lc.loca_alpha,
-                faithful_indexing=True,
+                chunk_size=cfg.loss_chunk_size,
             )
 
         if need_contrastive:

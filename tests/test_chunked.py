@@ -87,3 +87,56 @@ def test_chunked_grads_flow():
     f_sh, f_ws = jax.grad(loss_full, argnums=(0, 1))(sh, ws)
     np.testing.assert_allclose(g_sh, f_sh, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(g_ws, f_ws, rtol=2e-4, atol=2e-5)
+
+
+def test_chunked_faithful_loca_matches_materialized():
+    """VERDICT r4 #4: the faithful fancy-indexing LoCa, seq-chunked — must
+    equal kd_losses.loca_loss(faithful_indexing=True) on materialized
+    logits exactly (incl. the write-order and ignore-label-writes-column-0
+    quirks), for chunk sizes that split the last-occurrence scatter across
+    chunk boundaries, and for value AND student gradients."""
+    import jax
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.losses.chunked import (
+        chunked_faithful_loca,
+    )
+
+    for seed in (0, 3):
+        sh, th, ws, wt, labels = _setup(seed)
+        t_logits = th @ wt
+
+        def full(sh_, ws_):
+            return loca_loss(
+                t_logits, sh_ @ ws_, labels,
+                temperature=0.8, alpha=0.8, faithful_indexing=True)
+
+        want, (gsh_w, gws_w) = jax.value_and_grad(full, argnums=(0, 1))(
+            sh, ws)
+
+        for chunk in (4, 5, 13, 32):
+            def chunked(sh_, ws_):
+                return chunked_faithful_loca(
+                    sh_, ws_, labels, th, wt,
+                    temperature=0.8, alpha=0.8, chunk_size=chunk)
+
+            got, (gsh, gws) = jax.value_and_grad(
+                chunked, argnums=(0, 1))(sh, ws)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(gsh, gsh_w, rtol=1e-4, atol=1e-6)
+            np.testing.assert_allclose(gws, gws_w, rtol=1e-4, atol=1e-6)
+
+
+def test_chunked_faithful_loca_all_ignore_labels():
+    """The no-valid-label special case (lbl writes suppressed entirely)
+    must survive chunking too."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.losses.chunked import (
+        chunked_faithful_loca,
+    )
+
+    sh, th, ws, wt, labels = _setup(1)
+    labels = jnp.full_like(labels, -100)
+    t_logits = th @ wt
+    want = loca_loss(t_logits, sh @ ws, labels, temperature=0.8, alpha=0.8,
+                     faithful_indexing=True)
+    got = chunked_faithful_loca(sh, ws, labels, th, wt,
+                                temperature=0.8, alpha=0.8, chunk_size=5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
