@@ -54,6 +54,9 @@ import time
 
 REF_A100_SAMPLES_PER_SEC = 1.6  # documented estimate, see module docstring
 
+# --accum_dtype flag value -> configs.TrainConfig.accum_dtype
+_ACCUM_DTYPES = {"f32": "float32", "bf16": "bfloat16", "param": "param"}
+
 # Raised scoped-VMEM limit for the big-block Pallas kernels (not a legal
 # XLA_FLAGS entry on the client; passed per-compile via jit compiler
 # options, which the axon terminal forwards).
@@ -365,6 +368,7 @@ def bench_train(args, mode: str) -> dict:
             loss_chunk_size=chunk if args.cpu else 128,
             ce_impl="chunked" if args.cpu and mesh is None else "fused",
             fused_local_impl="xla" if args.cpu else "pallas",
+            accum_dtype=_ACCUM_DTYPES[args.accum_dtype],
         )
         models = KDModels(student, teacher)
     else:
@@ -373,6 +377,7 @@ def bench_train(args, mode: str) -> dict:
             kd_mode="baseline", loss_chunk_size=chunk,
             ce_impl="chunked" if args.cpu and mesh is None else "fused",
             fused_local_impl="xla" if args.cpu else "pallas",
+            accum_dtype=_ACCUM_DTYPES[args.accum_dtype],
         )
         models = KDModels(student, None)
 
@@ -616,6 +621,14 @@ def build_parser() -> argparse.ArgumentParser:
                     "the realistic S=3072 workload via the fused LoCa "
                     "kernels (measured r2; phase 1: 2.84 samples/s)")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--accum_dtype", choices=["f32", "bf16", "param"],
+                    default="f32",
+                    help="gradient-accumulation carry dtype: f32 = exact "
+                    "sum-then-divide (a 2 GB param-shaped buffer on the "
+                    "0.5B student — the measured accum>=4 OOM at the 7B "
+                    "workload); bf16/param = running mean in reduced "
+                    "precision (~2^-8 relative noise per add, fits accum "
+                    "8+ on one chip — see configs.py::accum_dtype)")
     ap.add_argument("--accum", type=int, default=1,
                     help="gradient-accumulation micro-batches per step "
                     "(lax.scan inside the jit step; the reference trains "

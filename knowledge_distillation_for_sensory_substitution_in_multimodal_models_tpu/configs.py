@@ -250,6 +250,16 @@ class TrainConfig:
     # Numerics / TPU
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # Gradient-accumulation carry dtype (train/step.py): "float32" sums
+    # micro-grads exactly then divides (torch-master-grad semantics; a
+    # full f32 param-shaped buffer — 2 GB for the 0.5B student, the
+    # measured accum>=4 OOM on one 16 GiB chip at the 7B KD workload);
+    # "bfloat16" / "param" carry the RUNNING MEAN in reduced precision
+    # (each micro-grad pre-scaled by 1/A so magnitudes stay uniform;
+    # bf16's 8-bit mantissa costs ~2^-8 relative noise per add — the
+    # accum-vs-accum=1 loss-trace drift is pinned in
+    # tests/test_train_step.py and measured in docs/PERF_NOTES.md)
+    accum_dtype: str = "float32"
     # Sequence-chunk size for the never-materialized KD loss scan
     loss_chunk_size: int = 256
     # CE implementation: "chunked" (XLA scan) or "fused" (Pallas

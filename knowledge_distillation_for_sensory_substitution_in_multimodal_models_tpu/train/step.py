@@ -309,16 +309,35 @@ def make_train_step(models: KDModels, cfg: TrainConfig):
     """
     loss_fn = make_loss_fn(models, cfg)
     grad_fn = jax.grad(loss_fn, has_aux=True)
+    # Accumulation-carry dtype lever (VERDICT r4 #3): the f32 carry is a
+    # full param-shaped buffer that OOMs one chip at the 7B KD workload
+    # for accum >= 4; "bfloat16"/"param" halve (or better) it by carrying
+    # the running MEAN in reduced precision.  See configs.py::accum_dtype.
+    acc_dt = getattr(cfg, "accum_dtype", "float32")
 
     def train_step(
         state: TrainState, teacher_params, batch
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         accum = jax.tree.leaves(batch)[0].shape[0]
+        exact = acc_dt == "float32"
+
+        def carry_dtype(p):
+            return (jnp.float32 if exact
+                    else p.dtype if acc_dt == "param" else jnp.bfloat16)
 
         def micro(carry, micro_batch):
             g_acc, m_acc = carry
             g, m = grad_fn(state.params, teacher_params, micro_batch)
-            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            if exact:
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+            else:
+                # running mean: pre-scale by 1/A so every add combines
+                # same-magnitude terms (bf16 rounding stays ~2^-8 relative
+                # instead of growing with the partial-sum magnitude)
+                g_acc = jax.tree.map(
+                    lambda a, gi: a + (gi.astype(jnp.float32)
+                                       / accum).astype(a.dtype),
+                    g_acc, g)
             m_acc = jax.tree.map(jnp.add, m_acc, m)
             return (g_acc, m_acc), None
 
@@ -328,7 +347,7 @@ def make_train_step(models: KDModels, cfg: TrainConfig):
             )
         else:
             g0 = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                lambda p: jnp.zeros(p.shape, carry_dtype(p)), state.params
             )
             m0 = jax.eval_shape(
                 lambda p, b: grad_fn(p, teacher_params, b)[1],
@@ -337,7 +356,8 @@ def make_train_step(models: KDModels, cfg: TrainConfig):
             )
             m0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m0)
             (grads, metrics), _ = jax.lax.scan(micro, (g0, m0), batch)
-            grads = jax.tree.map(lambda g: g / accum, grads)
+            if exact:
+                grads = jax.tree.map(lambda g: g / accum, grads)
             metrics = jax.tree.map(lambda m: m / accum, metrics)
 
         new_state = state.apply_gradients(grads=grads)

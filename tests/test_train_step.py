@@ -266,3 +266,37 @@ def test_mlp_chunk_and_remat_barrier_parity(setup):
         d = np.max(np.abs(np.asarray(x, np.float32)
                           - np.asarray(y, np.float32)))
         assert d <= 2e-4, d
+
+
+def test_accum_dtype_bf16_matches_f32_carry(setup):
+    """VERDICT r4 #3: the reduced-precision accumulation carry (what fits
+    accum >= 4 at the 7B workload on one chip) must stay a faithful mean
+    of the micro-grads: one accumulated step with accum_dtype='bfloat16'
+    lands within a small fraction of an optimizer step of the exact f32
+    carry, and the step metrics (micro-mean losses) match closely."""
+    student, teacher, sparams, tparams, batch = setup
+    base = TrainConfig(
+        kd_mode="double_trouble", phase=3,
+        loss=kd_loss_config_for("double_trouble"), loss_chunk_size=32,
+    )
+
+    def one_step(cfg):
+        tx = make_optimizer(sparams, 1e-3)
+        state = TrainState.create(apply_fn=None, params=sparams, tx=tx)
+        step = jax.jit(make_train_step(KDModels(student, teacher), cfg))
+        new_state, metrics = step(state, tparams, batch)
+        return float(metrics["loss"]), new_state.params
+
+    loss_f32, p_f32 = one_step(base)
+    loss_bf16, p_bf16 = one_step(
+        dataclasses.replace(base, accum_dtype="bfloat16"))
+    assert np.isfinite(loss_bf16)
+    # metrics accumulate in f32 in both configs: near-identical
+    np.testing.assert_allclose(loss_bf16, loss_f32, rtol=1e-5)
+    # Adam normalizes by |g| so elementwise rtol on params is the wrong
+    # yardstick (see test_mlp_chunk_and_remat_barrier_parity); bound the
+    # drift to a fraction of one optimizer step (lr = 1e-3)
+    for x, y in zip(jax.tree.leaves(p_f32), jax.tree.leaves(p_bf16)):
+        d = np.max(np.abs(np.asarray(x, np.float32)
+                          - np.asarray(y, np.float32)))
+        assert d <= 3e-4, d
