@@ -495,6 +495,137 @@ def bench_train(args, mode: str) -> dict:
     }
 
 
+def bench_eval_loop(args) -> dict:
+    """The evaluator's per-row loop, end to end (VERDICT r4 #6).
+
+    The reference's eval cost is NOT just model.generate: each row pays
+    host image load + depth->3ch conversion + processor/tokenize + the
+    decode + answer extraction
+    (`evaluation/onevisionv3/evaluate_onevision.py:402-443`).  This mode
+    drives the SAME machinery the eval CLI uses — SUNRGBDVQADataset
+    (prewitt_imagenet quirk) over a synthetic on-disk tree at the
+    production 530x730 resolution, OneVisionCollator(eval_mode=True),
+    batched jit KV-cache Generator, eos-strip + digits_to_words — and
+    reports rows/s plus the host/device wall split.
+    """
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.cli.common import (
+        ensure_synthetic_dataset,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.collate import (
+        OneVisionCollator,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.dataset import (
+        SUNRGBDVQADataset,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.data.tokenization import (
+        HashTokenizer,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.eval.decode import (
+        GenerateConfig,
+        Generator,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.models import (
+        LlavaOnevision,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.utils.numwords import (
+        digits_to_words,
+    )
+
+    c = _configs(args)
+    scfg, dtype, attn_impl = c["scfg"], c["dtype"], c["attn_impl"]
+    bs = args.batch
+    n_batches = 2 if args.cpu else 4
+    n_rows = bs * (n_batches + 1)  # +1 warmup/compile batch
+    size = (45, 67) if args.cpu else (530, 730)  # production SUNRGBD
+    new_tokens = 8 if args.cpu else 32
+
+    root = ensure_synthetic_dataset(
+        tempfile.mkdtemp(prefix="kdss_evalloop_"), n=n_rows, seed=0,
+        size=size)
+    ds = SUNRGBDVQADataset(
+        root, "val_dataset.csv", None, depth_encoding="prewitt_imagenet")
+    tok = HashTokenizer(
+        vocab_size=scfg.text.vocab_size, pad_token_id=scfg.pad_token_id,
+        eos_token_id=scfg.eos_token_id, image_token_id=scfg.image_token_id)
+    collator = OneVisionCollator(
+        scfg, tok, eval_mode=True,
+        **({"buckets": (c["seq_len"],)} if args.cpu else {}))
+
+    model = LlavaOnevision(scfg, dtype=dtype, attn_impl=attn_impl)
+    # params via the same synthetic materialization as bench_generation
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.utils.synthetic import (
+        synthetic_kd_batch,
+    )
+    probe = synthetic_kd_batch(
+        scfg, batch_size=bs, seq_len=c["seq_len"],
+        orig_sizes=[c["orig"]] * bs, seed=3)
+    probe = {k: jnp.asarray(v) for k, v in probe.items()
+             if not k.startswith("teacher_")}
+    params = _materialize(_shapes(
+        LlavaOnevision(scfg, dtype=dtype), probe, 2, "student"), 2, dtype)
+    gen = Generator(model, scfg, GenerateConfig(
+        max_new_tokens=new_tokens, eos_token_id=scfg.eos_token_id))
+
+    def run_batch(idxs):
+        th0 = time.time()
+        samples = [ds[i] for i in idxs]
+        n_real = len(samples)
+        if n_real < bs:
+            samples = samples + [samples[-1]] * (bs - n_real)
+        batch = collator(samples)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if not k.startswith("teacher_") and k != "question_id"}
+        th = time.time() - th0
+        td0 = time.time()
+        out = gen.generate(params, jb)
+        seqs = np.asarray(out["sequences"])[:n_real]
+        plens = np.asarray(out["prompt_lengths"])[:n_real]
+        valid = np.asarray(out["valid"])[:n_real]
+        td = time.time() - td0
+        th0 = time.time()
+        answers = []
+        for j in range(n_real):
+            ids = [int(t) for t, v in
+                   zip(seqs[j, plens[j]:], valid[j, plens[j]:]) if v]
+            if ids and ids[-1] == scfg.eos_token_id:
+                ids = ids[:-1]
+            answers.append(digits_to_words(tok.decode(ids)).lower().strip())
+        th += time.time() - th0
+        return th, td, answers
+
+    t0 = time.time()
+    run_batch(list(range(bs)))  # compile + warm
+    print(f"[eval_loop] compile+first batch: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    host_s = dev_s = 0.0
+    t0 = time.time()
+    for bi in range(n_batches):
+        idxs = list(range(bs * (bi + 1), bs * (bi + 2)))
+        th, td, _ = run_batch(idxs)
+        host_s += th
+        dev_s += td
+    dt = time.time() - t0
+    rows_per_sec = n_batches * bs / dt
+    print(f"[eval_loop] {rows_per_sec:.3f} rows/s (B={bs}, "
+          f"img {size[0]}x{size[1]}, {new_tokens} new tokens; host "
+          f"{host_s/dt*100:.0f}% / device {dev_s/dt*100:.0f}%)",
+          file=sys.stderr)
+    return {
+        "rows_per_sec": round(rows_per_sec, 3),
+        "batch": bs,
+        "new_tokens": new_tokens,
+        "host_frac": round(host_s / dt, 3),
+        "device_frac": round(dev_s / dt, 3),
+    }
+
+
 def bench_generation(args) -> dict:
     """Greedy KV-cache decode: flash prefill + 32 new tokens (reference
     decode config, rep-penalty 1.2 + bigram ban)."""
@@ -612,7 +743,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--mode",
-                    choices=["all", "baseline_depth", "kd", "generation"],
+                    choices=["all", "baseline_depth", "kd", "generation",
+                             "eval_loop"],
                     default="all")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--kd_phase", type=int, default=3, choices=[1, 2, 3],
@@ -782,8 +914,21 @@ def main() -> None:
         results["baseline_depth"] = bench_train(args, "baseline_depth")
     if args.mode in ("all", "generation"):
         results["generation"] = bench_generation(args)
+    if args.mode in ("all", "eval_loop"):
+        results["eval_loop"] = bench_eval_loop(args)
 
     model_tag = "tiny-cpu-smoke" if args.cpu else "0.5B student"
+    if args.mode == "eval_loop":
+        e = results["eval_loop"]
+        print(json.dumps({
+            "metric": f"evaluator loop rows/sec ({model_tag}, "
+                      f"B={e['batch']}, {e['new_tokens']} new tokens)",
+            "value": e["rows_per_sec"], "unit": "rows/s",
+            "vs_baseline": None,
+            "extras": {"host_frac": e["host_frac"],
+                       "device_frac": e["device_frac"]},
+        }))
+        return
     if "kd" in results:
         head, label = results["kd"], f"kd_double_trouble_p{args.kd_phase}"
         teacher_tag = ("tiny teacher" if args.cpu
@@ -819,6 +964,10 @@ def main() -> None:
     if "generation" in results:
         extras["generation_tok_per_sec"] = results["generation"]["tok_per_sec"]
         extras["generation_ms_per_call"] = results["generation"]["ms_per_call"]
+    if "eval_loop" in results:
+        extras["eval_loop_rows_per_sec"] = (
+            results["eval_loop"]["rows_per_sec"])
+        extras["eval_loop_host_frac"] = results["eval_loop"]["host_frac"]
 
     print(json.dumps({
         "metric": f"{label} train samples/sec ({model_tag}, {detail}, 1 chip)",

@@ -268,8 +268,13 @@ def init_or_load_params(model, cfg, weights_path: Optional[str], seed: int,
     return init(jax.random.PRNGKey(seed))
 
 
-def ensure_synthetic_dataset(root: str, n: int = 12, seed: int = 0) -> str:
-    """Materialize a tiny SUNRGBD-layout tree (csv_data + images)."""
+def ensure_synthetic_dataset(root: str, n: int = 12, seed: int = 0,
+                             size=None) -> str:
+    """Materialize a tiny SUNRGBD-layout tree (csv_data + images).
+
+    ``size=(h, w)`` pins every image to one resolution — the eval-loop
+    bench uses the production SUNRGBD 530x730 so the host depth/anyres
+    work and the compiled prompt shapes match the real workload."""
     import pandas as pd
     from PIL import Image
 
@@ -284,7 +289,7 @@ def ensure_synthetic_dataset(root: str, n: int = 12, seed: int = 0) -> str:
         "Count", "Yes/No", "Color",
     ]
     for i in range(n):
-        h, w = [(45, 67), (30, 80), (52, 52)][i % 3]
+        h, w = size if size is not None else [(45, 67), (30, 80), (52, 52)][i % 3]
         rgb = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
         depth = rng.integers(0, 65535, size=(h, w)).astype(np.uint16)
         Image.fromarray(rgb).save(os.path.join(sun, "img", f"rgb_{i}.png"))
