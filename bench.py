@@ -362,9 +362,15 @@ def bench_train(args, mode: str) -> dict:
             tparams = _materialize(tshapes, 1, dtype)
         # Single-chip KD bench runs double-trouble phase 3 by default
         # (--kd_phase; see module docstring).
+        import dataclasses
+
+        loss_cfg = kd_loss_config_for("double_trouble")
+        if args.loca_faithful:
+            loss_cfg = dataclasses.replace(
+                loss_cfg, loca_faithful_indexing=True)
         cfg = TrainConfig(
             kd_mode="double_trouble", phase=args.kd_phase,
-            loss=kd_loss_config_for("double_trouble"),
+            loss=loss_cfg,
             loss_chunk_size=chunk if args.cpu else 128,
             ce_impl="chunked" if args.cpu and mesh is None else "fused",
             fused_local_impl="xla" if args.cpu else "pallas",
@@ -753,6 +759,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "the realistic S=3072 workload via the fused LoCa "
                     "kernels (measured r2; phase 1: 2.84 samples/s)")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--loca_faithful", action="store_true",
+                    help="kd mode: route LoCa through the reference-"
+                    "faithful fancy-indexing variant (seq-chunked since "
+                    "r5 — losses/chunked.py::chunked_faithful_loca; the "
+                    "accuracy-parity experiment path, now executable at "
+                    "production shapes)")
     ap.add_argument("--accum_dtype", choices=["f32", "bf16", "param"],
                     default="f32",
                     help="gradient-accumulation carry dtype: f32 = exact "

@@ -51,8 +51,11 @@ DEFAULT_ARMS = [
 ]
 
 
-def run_arm(mode: str, stream: str, steps: int) -> dict:
+def run_arm(mode: str, stream: str, steps: int, extra=()) -> dict:
+    """``extra``: additional bench.py argv tokens (arm syntax
+    ``mode:stream:tok1 tok2 ...`` — e.g. ``kd:bound:--accum 8``)."""
     argv = ["--mode", mode, "--flash_stream", stream, "--steps", str(steps)]
+    argv += list(extra)
     args = bench.build_parser().parse_args(argv)
     # env flags are trace-time reads: set for THIS arm before any tracing
     os.environ["KDSS_FLASH_STREAM"] = "0" if stream == "off" else stream
@@ -87,10 +90,12 @@ def main() -> None:
         if arm in done:
             print(f"[ab] {arm}: already recorded, skipping", file=sys.stderr)
             continue
-        mode, stream = arm.split(":")
+        parts = arm.split(":", 2)
+        mode, stream = parts[0], parts[1]
+        extra = parts[2].split() if len(parts) > 2 else ()
         print(f"[ab] === {arm} ===", file=sys.stderr)
         try:
-            res = run_arm(mode, stream, args.steps)
+            res = run_arm(mode, stream, args.steps, extra)
         except Exception as e:  # record the failure, keep going
             res = {"error": f"{type(e).__name__}: {e}"}
         done[arm] = res
