@@ -274,7 +274,13 @@ def bench_train(args, mode: str) -> dict:
     # no backward, so its remat never recomputes — keep it "full").
     vattn = (None if getattr(args, "vision_attn", "auto") == "auto"
              else args.vision_attn)
-    is_7b = args.teacher == "7b" and not args.cpu
+    # The 7B fit levers apply ONLY to the mode that carries the 7B
+    # teacher: r4 keyed them on args.teacher alone, which silently turned
+    # them on for baseline_depth too once 7b became the default teacher —
+    # the memory-over-speed levers cost that teacher-less step 13%
+    # (3.88 -> 3.36 samples/s, the untriaged BENCH_r04 regression;
+    # triaged r5 via the same-window A/B in docs/AB_STREAM_r05.json).
+    is_7b = args.teacher == "7b" and not args.cpu and mode == "kd"
     mlp_chunk = args.mlp_chunk
     if mlp_chunk is None:
         # the real-7B bench needs the student MLP-remat carpet capped to
