@@ -83,7 +83,11 @@ class SUNRGBDVQADataset:
 
             depth3 = depth_to_3ch_native(depth_raw)
         elif self.depth_encoding == "prewitt_imagenet":
-            depth3 = depth_to_3ch_numpy(depth_raw, imagenet_bake=True)
+            # eval-quirk variant, also native since r5 (the evaluator's
+            # host hot loop — bench.py --mode eval_loop host_frac)
+            from .native import depth_to_3ch_native
+
+            depth3 = depth_to_3ch_native(depth_raw, imagenet_bake=True)
         else:
             depth3 = depth_to_gray3_numpy(depth_raw)
         question = str(self.df.iloc[idx, 1])

@@ -34,11 +34,16 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
-    lib.depth_to_3ch.argtypes = [
+    sig = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.depth_to_3ch.argtypes = sig
     lib.depth_to_3ch.restype = None
+    # the baked variant landed in r5: older .so builds may lack it
+    if hasattr(lib, "depth_to_3ch_bake"):
+        lib.depth_to_3ch_bake.argtypes = sig
+        lib.depth_to_3ch_bake.restype = None
     _lib = lib
     return lib
 
@@ -47,16 +52,22 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def depth_to_3ch_native(depth: np.ndarray) -> np.ndarray:
-    """uint8 [H, W, 3] Prewitt encoding; native when built, numpy otherwise."""
+def depth_to_3ch_native(depth: np.ndarray,
+                        imagenet_bake: bool = False) -> np.ndarray:
+    """uint8 [H, W, 3] Prewitt encoding; native when built, numpy otherwise.
+
+    ``imagenet_bake=True`` additionally applies the reference's eval-path
+    ImageNet bake (`evaluate_onevision.py:279-288`) in the same native
+    pass — the evaluator's host hot loop (bench.py --mode eval_loop)."""
     lib = _load()
-    if lib is None:
-        return depth_to_3ch_numpy(depth)
+    fn_name = "depth_to_3ch_bake" if imagenet_bake else "depth_to_3ch"
+    if lib is None or not hasattr(lib, fn_name):
+        return depth_to_3ch_numpy(depth, imagenet_bake=imagenet_bake)
     h, w = depth.shape
     src = np.ascontiguousarray(depth, dtype=np.float32)
     out = np.empty((h, w, 3), dtype=np.uint8)
     scratch = np.empty(4 * h * w, dtype=np.float32)
-    lib.depth_to_3ch(
+    getattr(lib, fn_name)(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_int(h), ctypes.c_int(w),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -112,4 +112,32 @@ void depth_to_3ch(const float* depth, int h, int w, uint8_t* out,
   }
 }
 
+// depth_to_3ch + the reference's eval-path ImageNet bake
+// (evaluate_onevision.py:279-288, reproduced by
+// data/depth.py::depth_to_3ch_numpy(imagenet_bake=True)): per channel,
+// f = u8/255, t = (f - mean_c) / std_c, then renormalize t to [0,255]
+// uint8.  Mathematically the bake is an affine no-op modulo f32
+// rounding — but eval parity is defined on the baked bytes, so the
+// float evaluation order here bit-matches the numpy version
+// (tests/test_native.py).
+void depth_to_3ch_bake(const float* depth, int h, int w, uint8_t* out,
+                       float* scratch /* >= 4*h*w floats */) {
+  depth_to_3ch(depth, h, w, out, scratch);
+  const int64_t n = (int64_t)h * w;
+  const float MEAN[3] = {0.485f, 0.456f, 0.406f};
+  const float STD[3] = {0.229f, 0.224f, 0.225f};
+  float* t = scratch;                       // n floats
+  uint8_t* b8 = (uint8_t*)(scratch + n);    // n bytes
+  for (int c = 0; c < 3; ++c) {
+#pragma omp parallel for
+    for (int64_t i = 0; i < n; ++i) {
+      const float f = (float)out[3 * i + c] / 255.0f;
+      t[i] = (f - MEAN[c]) / STD[c];
+    }
+    normalize_f_to_u8(t, b8, n);
+#pragma omp parallel for
+    for (int64_t i = 0; i < n; ++i) out[3 * i + c] = b8[i];
+  }
+}
+
 }  // extern "C"
