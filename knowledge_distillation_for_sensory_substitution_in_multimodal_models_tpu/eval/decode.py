@@ -35,7 +35,8 @@ from ..models.llava_onevision import LlavaOnevision
 class GenerateConfig:
     max_new_tokens: int = 32
     repetition_penalty: float = 1.2
-    no_repeat_ngram_size: int = 2  # only n=2 is implemented (reference value)
+    # any n >= 2 (HF semantics; the reference's value is 2), 0/None = off
+    no_repeat_ngram_size: int = 2
     eos_token_id: int = 151645
     # temperature accepted for flag parity; greedy decode ignores it, as the
     # reference's generate call effectively does (no do_sample).
@@ -43,12 +44,11 @@ class GenerateConfig:
     allowed_token_ids: Optional[tuple] = None
 
     def __post_init__(self):
-        # fail loudly instead of silently decoding without the constraint
-        if self.no_repeat_ngram_size not in (0, None, 2):
-            raise NotImplementedError(
-                f"no_repeat_ngram_size={self.no_repeat_ngram_size}: only 2 "
-                "(the reference's value) or 0/None (off) are implemented"
-            )
+        if self.no_repeat_ngram_size not in (0, None) and (
+                self.no_repeat_ngram_size < 2):
+            raise ValueError(
+                f"no_repeat_ngram_size={self.no_repeat_ngram_size}: "
+                "use 0/None (off) or n >= 2")
         if self.max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
 
@@ -72,17 +72,32 @@ def _apply_repetition_penalty(logits, presence, penalty):
     return jnp.where(presence, penalized, logits)
 
 
-def _bigram_ban_mask(ids, valid, last_token, vocab):
-    """Ban mask [B, V]: tokens t where (last_token, t) occurs in ids.
+def _ngram_ban_mask(ids, valid, prefix, vocab):
+    """Ban mask [B, V]: tokens t where (prefix..., t) occurs as an n-gram
+    anywhere in ids (HF NoRepeatNGramLogitsProcessor over the full
+    prompt+generated buffer).
 
-    ids [B, L] full buffer, valid [B, L] marks real tokens.
+    ids [B, L] full buffer, valid [B, L] marks real tokens,
+    prefix [B, n-1] the last n-1 real tokens of the sequence so far.
+    Every window position j contributes a ban on ids[j+n-1] iff all n
+    window slots are valid and the first n-1 equal the prefix — one
+    vectorized pass, no gather loops over sequence positions.
     """
     b, l = ids.shape
-    first = ids[:, :-1]
-    second = ids[:, 1:]
-    pair_ok = (first == last_token[:, None]) & valid[:, :-1] & valid[:, 1:]
+    m = prefix.shape[1]  # n - 1
+    match = valid[:, m:]
+    for k in range(m):
+        match = match & (ids[:, k:l - m + k] == prefix[:, k:k + 1]) \
+            & valid[:, k:l - m + k]
+    nxt = ids[:, m:]
     ban = jnp.zeros((b, vocab), dtype=bool)
-    return ban.at[jnp.arange(b)[:, None], second].max(pair_ok)
+    return ban.at[jnp.arange(b)[:, None], nxt].max(match)
+
+
+def _bigram_ban_mask(ids, valid, last_token, vocab):
+    """n=2 convenience wrapper over :func:`_ngram_ban_mask` (kept for the
+    unit tests; the generator always carries the general prefix)."""
+    return _ngram_ban_mask(ids, valid, last_token[:, None], vocab)
 
 
 class Generator:
@@ -167,7 +182,12 @@ class Generator:
         presence = jnp.zeros((b, vocab), bool).at[
             jnp.arange(b)[:, None], ids
         ].max(mask.astype(bool))
-        last_tok = jnp.take_along_axis(ids, last_idx[:, None], axis=1)[:, 0]
+        # carried n-gram prefix: the last (n-1) real prompt tokens (for
+        # ngram off / n=2 this is just the last token)
+        nprev = max((gc.no_repeat_ngram_size or 0) - 1, 1)
+        pidx = jnp.clip(
+            lengths[:, None] - nprev + jnp.arange(nprev)[None, :], 0, s - 1)
+        last_tok = jnp.take_along_axis(ids, pidx, axis=1)  # [B, n-1]
         finished = jnp.zeros((b,), bool)
 
         allowed = None
@@ -180,8 +200,8 @@ class Generator:
             lg = _apply_repetition_penalty(
                 logits_f32, presence, gc.repetition_penalty
             )
-            if gc.no_repeat_ngram_size == 2:
-                ban = _bigram_ban_mask(buf, valid, last_tok, vocab)
+            if gc.no_repeat_ngram_size and gc.no_repeat_ngram_size >= 2:
+                ban = _ngram_ban_mask(buf, valid, last_tok, vocab)
                 lg = jnp.where(ban, -jnp.inf, lg)
             if allowed is not None:
                 lg = jnp.where(allowed[None, :], lg, -jnp.inf)
@@ -211,8 +231,10 @@ class Generator:
                 decode_mask=step_mask,
             )
             next_logits = logits[:, 0].astype(jnp.float32)
+            new_prefix = jnp.concatenate(
+                [last_tok[:, 1:], tok[:, None]], axis=1)
             return (
-                caches, next_logits, buf, valid, presence, tok,
+                caches, next_logits, buf, valid, presence, new_prefix,
                 new_finished, cur_len + 1,
             ), tok
 

@@ -173,3 +173,43 @@ def test_pallas_prefill_matches_xla(setup):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(gen_fl.generate(params, jb)["tokens"])
     np.testing.assert_array_equal(got, ref)
+
+
+def test_ngram_ban_mask_general():
+    """r5: arbitrary-n no-repeat (HF semantics).  n=3: ban t where
+    (prefix0, prefix1, t) occurs anywhere among valid windows."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.eval.decode import (
+        _ngram_ban_mask,
+    )
+    #           0  1  2  3  4  5
+    ids = jnp.asarray([[5, 7, 9, 5, 7, 2]])
+    valid = jnp.asarray([[True] * 6])
+    ban = np.asarray(_ngram_ban_mask(ids, valid, jnp.asarray([[5, 7]]), 12))
+    assert ban[0, 9] and ban[0, 2]        # 5,7 -> 9 and 5,7 -> 2 occur
+    assert not ban[0, 5] and not ban[0, 7]
+    # invalidating the window's third slot removes that ban
+    valid2 = jnp.asarray([[True, True, True, True, True, False]])
+    ban2 = np.asarray(_ngram_ban_mask(ids, valid2, jnp.asarray([[5, 7]]), 12))
+    assert ban2[0, 9] and not ban2[0, 2]
+
+
+def test_no_repeat_trigram_decode(setup):
+    """Generated tokens must never complete a trigram that already
+    occurred (n=3 end-to-end through the generator)."""
+    model, params, jb = setup
+    gcfg = GenerateConfig(
+        max_new_tokens=8, repetition_penalty=1.2, no_repeat_ngram_size=3,
+        eos_token_id=-1,
+    )
+    gen = Generator(model, CFG, gcfg)
+    out = gen.generate(params, jb)
+    seqs = np.asarray(out["sequences"])
+    valid = np.asarray(out["valid"])
+    plens = np.asarray(out["prompt_lengths"])
+    for i in range(seqs.shape[0]):
+        toks = [int(t) for t in seqs[i][valid[i]]]
+        tris = list(zip(toks[:-2], toks[1:-1], toks[2:]))
+        n_prompt = int(plens[i])
+        for j in range(n_prompt - 2, len(tris)):
+            assert tris[j] not in tris[:j], (
+                f"generated trigram {tris[j]} repeats an earlier one")
