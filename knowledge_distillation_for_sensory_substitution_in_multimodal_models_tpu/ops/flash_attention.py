@@ -617,9 +617,16 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
     mode = _stream_mode()
     stream = mode != "off"
     poison_mode = None
+    want_lse = with_lse
     if mode == "bound":
         poison_mode = ("dead" if kv_mask is None
                        else ("vc" if not with_lse else "wrapper"))
+        if poison_mode == "vc" and _SBOUND_FWD_POISON() == "lse":
+            # fwd-only + kv mask: trade the in-kernel per-block validity
+            # tracking (r4: -2.4% on the KD step, whose teacher runs 28
+            # fwd-only layers) for an lse emit + the free XLA wrapper
+            # poison.  KDSS_SBOUND_FWD_POISON selects; A/B'd on-chip.
+            poison_mode, want_lse = "wrapper", True
         kernel = functools.partial(
             _fwd_kernel_sbound, causal=causal, scale=scale, bq=bq, bk=bk,
             n_kv=n_kv, poison_mode=poison_mode)
@@ -631,8 +638,8 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
             causal=causal, scale=scale, bq=bq, bk=bk, n_kv=n_kv)
     # Fwd-only calls (decode prefill, eval forward) drop the lse output:
     # its [B, H, S, 128] f32 HBM write is pure waste unless a backward
-    # will consume it.
-    if not with_lse:
+    # will consume it (or the lse-based fwd poison wants it, see above).
+    if not want_lse:
         kernel = _drop_arg(kernel, 6 if stream else 5)
     if kv_mask is None:
         kernel = _drop_arg(kernel, 3)
@@ -678,7 +685,7 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), q.dtype)]
-    if with_lse:
+    if want_lse:
         out_specs.append(
             pl.BlockSpec((1, 1, bq, 128), lambda b_, h, i, j: (b_, h, i, 0),
                          memory_space=pltpu.VMEM))
@@ -701,10 +708,10 @@ def _flash_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
         ),
     )(*inputs)
     out = outs[0]
-    lse = outs[1] if with_lse else None
+    lse = outs[1] if want_lse else None
     if poison_mode == "wrapper":
         out = _sbound_wrapper_poison(out, lse, kv_mask, causal)
-    return out, lse
+    return out, (lse if with_lse else None)
 
 
 def _drop_arg(kernel, idx):
@@ -1251,6 +1258,22 @@ def _stream_mode() -> str:
     return "off" if v == "0" else v
 
 
+def _SBOUND_FWD_POISON() -> str:
+    """Poison strategy for bound-mode FWD-ONLY calls WITH a kv mask
+    (teacher forward, decode prefill, eval):
+
+    * ``"vc"`` (default) — in-kernel per-row validity tracking; costs a
+      per-masked-block reduce+select (r4: -2.4% on the KD step, whose
+      int8 teacher runs 28 such layers).
+    * ``"lse"`` — emit the lse output anyway and reuse the free XLA
+      wrapper poison; costs the [*, S, 128] f32 lse HBM write the
+      fwd-only path normally elides (~44 MB/layer at the 7B teacher).
+
+    Read at trace time (KDSS_SBOUND_FWD_POISON); both sides loud-NaN
+    identically — this is purely a perf A/B knob."""
+    return os.environ.get("KDSS_SBOUND_FWD_POISON", "vc")
+
+
 def _gqa_fwd_kernel_sbound(q_ref, k_ref, v_ref, kvm_ref, c_ref, o_ref,
                            lse_ref, acc_ref, l_ref, vc_ref,
                            *, causal, scale, g, bq, bk, n_kv,
@@ -1737,9 +1760,14 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
                 "KDSS_FLASH_STREAM=1 takes precedence over KDSS_FLASH_ILP=1"
                 " — the ILP fwd variant is not dispatched.", stacklevel=2)
     poison_mode = None
+    want_lse = with_lse
     if mode == "bound":
         poison_mode = ("dead" if kv_mask is None
                        else ("vc" if not with_lse else "wrapper"))
+        if poison_mode == "vc" and _SBOUND_FWD_POISON() == "lse":
+            # see _flash_fwd_impl: lse-emit + wrapper poison instead of
+            # the in-kernel vc tracking on fwd-only masked calls
+            poison_mode, want_lse = "wrapper", True
         kernel = functools.partial(
             _gqa_fwd_kernel_sbound,
             causal=causal, scale=scale, g=g, bq=bq, bk=bk, n_kv=n_kv,
@@ -1756,7 +1784,7 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
             causal=causal, scale=scale, g=g, bq=bq, bk=bk, n_kv=n_kv)
     in_specs = [qspec, kspec, kspec]
     inputs = [q, k, v]
-    if not with_lse:  # see _flash_fwd_impl: skip the wasted lse write
+    if not want_lse:  # see _flash_fwd_impl: skip the wasted lse write
         kernel = _drop_arg(kernel, 6 if stream else 5)
     if kv_mask is not None:
         in_specs.append(mspec)
@@ -1794,10 +1822,10 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
             )(*rm_inputs)
         in_specs.append(mh_spec)
         inputs.append(mhat)
-    out_specs = [qspec] + ([lspec] if with_lse else [])
+    out_specs = [qspec] + ([lspec] if want_lse else [])
     out_shape = [jax.ShapeDtypeStruct((b, hkv, g, sq, d), q.dtype)] + (
         [jax.ShapeDtypeStruct((b, hkv, g, sq, 128), jnp.float32)]
-        if with_lse else []
+        if want_lse else []
     )
     if stream:
         scratch = [
@@ -1824,10 +1852,10 @@ def _flash_gqa_fwd_impl(q, k, v, kv_mask, causal, scale, with_lse=True):
         ),
     )(*inputs)
     out = outs[0]
-    lse = outs[1] if with_lse else None
+    lse = outs[1] if want_lse else None
     if poison_mode == "wrapper":
         out = _sbound_wrapper_poison(out, lse, kv_mask, causal)
-    return out, lse
+    return out, (lse if with_lse else None)
 
 
 def _flash_gqa_vjp_fwd(q, k, v, kv_mask, causal, scale):

@@ -53,9 +53,16 @@ DEFAULT_ARMS = [
 
 def run_arm(mode: str, stream: str, steps: int, extra=()) -> dict:
     """``extra``: additional bench.py argv tokens (arm syntax
-    ``mode:stream:tok1 tok2 ...`` — e.g. ``kd:bound:--accum 8``)."""
+    ``mode:stream:tok1 tok2 ...`` — e.g. ``kd:bound:--accum 8``).
+    Tokens of the form ``env:KEY=VAL`` set trace-time env flags for the
+    arm instead (e.g. ``env:KDSS_SBOUND_FWD_POISON=lse``)."""
     argv = ["--mode", mode, "--flash_stream", stream, "--steps", str(steps)]
-    argv += list(extra)
+    for tok in extra:
+        if tok.startswith("env:"):
+            k, _, v = tok[4:].partition("=")
+            os.environ[k] = v
+        else:
+            argv.append(tok)
     args = bench.build_parser().parse_args(argv)
     # env flags are trace-time reads: set for THIS arm before any tracing
     os.environ["KDSS_FLASH_STREAM"] = "0" if stream == "off" else stream
@@ -94,10 +101,14 @@ def main() -> None:
         mode, stream = parts[0], parts[1]
         extra = parts[2].split() if len(parts) > 2 else ()
         print(f"[ab] === {arm} ===", file=sys.stderr)
+        env_snap = dict(os.environ)  # env: tokens must not leak across arms
         try:
             res = run_arm(mode, stream, args.steps, extra)
         except Exception as e:  # record the failure, keep going
             res = {"error": f"{type(e).__name__}: {e}"}
+        finally:
+            os.environ.clear()
+            os.environ.update(env_snap)
         done[arm] = res
         with open(args.out, "w") as f:
             json.dump(done, f, indent=1)

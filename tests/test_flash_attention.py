@@ -583,3 +583,40 @@ def test_bound_gray_band_rows_poison_not_silent(monkeypatch):
     keep[20] = False
     np.testing.assert_allclose(o_bnd[:, keep], o_ref[:, keep],
                                atol=5e-5, rtol=5e-5)
+
+
+def test_sbound_fwd_poison_lse_matches_vc(monkeypatch):
+    """KDSS_SBOUND_FWD_POISON=lse (r5 A/B knob): the lse-emit wrapper
+    poison must behave identically to the in-kernel vc tracking on
+    fwd-only masked calls — same exact values on live rows, same NaN on
+    valid-but-underflowed rows, same exact-0 on fully-masked rows."""
+    b, sq, hq, hkv, d = 1, 256, 4, 2, 64
+    monkeypatch.setenv("KDSS_FLASH_STREAM", "bound")
+
+    # healthy magnitudes: all rows live
+    q, k, v = _mk(b, sq, sq, hq, hkv, d, seed=2)
+    mask = np.ones((b, sq), dtype=bool)
+    mask[:, 200:] = False
+    mask_j = jnp.asarray(mask)
+    outs = {}
+    for pmode in ("vc", "lse"):
+        monkeypatch.setenv("KDSS_SBOUND_FWD_POISON", pmode)
+        with pltpu.force_tpu_interpret_mode():
+            outs[pmode] = np.asarray(
+                flash_attention(q, k, v, mask=mask_j, causal=False))
+    np.testing.assert_allclose(outs["lse"], outs["vc"], atol=1e-6)
+
+    # underflow + fully-masked coexistence (the vc test's scenario)
+    qz = np.zeros((b, sq, hq, d), dtype=np.float32)
+    kz = np.zeros((b, sq, hkv, d), dtype=np.float32)
+    qz[..., 0] = 300.0
+    kz[..., 1] = 300.0
+    qz, kz = jnp.asarray(qz), jnp.asarray(kz)
+    monkeypatch.setenv("KDSS_SBOUND_FWD_POISON", "lse")
+    with pltpu.force_tpu_interpret_mode():
+        o_under = np.asarray(
+            flash_attention(qz, kz, v, mask=mask_j, causal=False))
+        o_dead = np.asarray(flash_attention(
+            qz, kz, v, mask=jnp.zeros((b, sq), dtype=bool), causal=False))
+    assert np.all(np.isnan(o_under[:, :200]))  # valid rows underflow loud
+    assert not np.any(o_dead)                  # fully-masked stay exact 0
