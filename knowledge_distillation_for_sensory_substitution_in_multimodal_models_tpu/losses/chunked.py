@@ -246,8 +246,24 @@ def chunked_faithful_loca(
     """
     b, s_len, _ = student_hidden.shape
     vs = student_head.shape[-1]
-    wt = teacher_head[:, :vs]  # pre-softmax prefix truncation
+    dt = teacher_hidden.shape[-1]
     ws = student_head
+    # Teacher head forms: dense [Dt, Vt], or the int8 (kernel_q,
+    # kernel_scale) pair in either storage orientation (r5 vocab-major
+    # [Vt, Dt] or legacy [Dt, Vt]).  The pair is dequantized per CHUNK
+    # inside t_probs — the dense [Dt, Vt] bf16 temp
+    # (train/step.py::dense_teacher_head, 1.09 GB at the 7B head) was
+    # exactly the allocation that kept --loca_faithful from fitting one
+    # chip (r5 OOM dump: 566 MB over).  Prefix truncation to the student
+    # vocab happens on the head slice (pre-softmax, reference semantics).
+    tq = isinstance(teacher_head, tuple)
+    if tq:
+        wq, wsc = teacher_head
+        t_vd = wq.shape[0] != dt
+        wsc = wsc.reshape(-1)[:vs]
+        wq = wq[:vs] if t_vd else wq[:, :vs]
+    else:
+        wt = teacher_head[:, :vs]  # pre-softmax prefix truncation
 
     sh = _pad_to_multiple(student_hidden, chunk_size, axis=1)
     th = _pad_to_multiple(teacher_hidden, chunk_size, axis=1)
@@ -267,8 +283,15 @@ def chunked_faithful_loca(
     }
 
     def t_probs(th_chunk):
-        t_logits = jnp.einsum(
-            "bcd,dv->bcv", th_chunk, wt, preferred_element_type=jnp.float32)
+        if tq:
+            t_logits = jnp.einsum(
+                "bcd,vd->bcv" if t_vd else "bcd,dv->bcv",
+                th_chunk, wq.astype(th_chunk.dtype),
+                preferred_element_type=jnp.float32) * wsc
+        else:
+            t_logits = jnp.einsum(
+                "bcd,dv->bcv", th_chunk, wt,
+                preferred_element_type=jnp.float32)
         return jax.nn.softmax(t_logits / temperature, axis=-1)
 
     def chunk_write_values(p_t, lbl_chunk):

@@ -191,10 +191,15 @@ def check_teacher_vocab(teacher_head, v_real: int, vd: bool = False):
     reference `logit_based/...:222`) — that only clamps correctly when the
     teacher vocab is at least the student's.  Fail loudly otherwise.
     ``vd``: the teacher head is in [V, D] layout (vocab on axis 0).
-    ``teacher_head`` may be the int8 (kernel_q, kernel_scale) pair."""
+    ``teacher_head`` may be the int8 (kernel_q, kernel_scale) pair —
+    its per-vocab scale length IS the teacher vocab, independent of the
+    kernel_q storage orientation (r5 vocab-major or legacy)."""
     if isinstance(teacher_head, tuple):
-        teacher_head = teacher_head[0]
-    vt = teacher_head.shape[0] if vd else teacher_head.shape[1]
+        import numpy as _np
+
+        vt = int(_np.prod(teacher_head[1].shape))
+    else:
+        vt = teacher_head.shape[0] if vd else teacher_head.shape[1]
     if vt < v_real:
         raise ValueError(
             f"teacher head vocab {vt} < student vocab {v_real}: prefix "

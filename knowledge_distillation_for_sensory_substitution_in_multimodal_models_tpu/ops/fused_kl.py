@@ -30,7 +30,8 @@ from .fused_loca import (_TMAT_DUMMY_SHAPE, _materialize_t, _t_block,
 
 def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
                    v_real: int, inv_t: float, n_v: int, vd: bool,
-                   tmat: bool = False, tq: bool = False):
+                   tmat: bool = False, tq: bool = False,
+                     t_vd: bool = False):
     wts_ref = None
     if tq:
         wts_ref, *rest = rest
@@ -42,7 +43,7 @@ def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
         acc[:] = jnp.zeros_like(acc)
 
     s = _logits(hs_ref[:], ws_ref[:], vd) * inv_t
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref, t_vd)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
     ps = jnp.where(in_vocab, jnp.exp(s - lses_ref[:, 0:1]), 0.0)
@@ -61,7 +62,8 @@ def _kl_dhs_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
 
 def _kl_dws_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
                    v_real: int, inv_t: float, n_n: int, vd: bool,
-                   tmat: bool = False, tq: bool = False):
+                   tmat: bool = False, tq: bool = False,
+                     t_vd: bool = False):
     wts_ref = None
     if tq:
         wts_ref, *rest = rest
@@ -73,7 +75,7 @@ def _kl_dws_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
         acc[:] = jnp.zeros_like(acc)
 
     s = _logits(hs_ref[:], ws_ref[:], vd) * inv_t
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref, t_vd)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
     ps = jnp.where(in_vocab, jnp.exp(s - lses_ref[:, 0:1]), 0.0)
@@ -116,7 +118,8 @@ def _kl_rows(hs, ws, ht, wt, v_real, inv_t, vd=False, tmat=False):
 
 def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
                     v_real: int, inv_t: float, n_v: int, vd: bool,
-                    tmat: bool = False, tq: bool = False):
+                    tmat: bool = False, tq: bool = False,
+                     t_vd: bool = False):
     """ONE sweep for the whole KL forward (replaces 2 lse passes + a KL
     pass).  Uses the decomposition
 
@@ -143,7 +146,7 @@ def _kl_fwd1_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
         sc_w[:] = jnp.zeros_like(sc_w)
 
     s = _logits(hs_ref[:], ws_ref[:], vd) * inv_t
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref, t_vd)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
     s = jnp.where(in_vocab, s, NEG)
@@ -204,11 +207,14 @@ def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd, tmat=False):
         t_in, wt_in = ht, wt
         hspec_t, cspec_t, _ = _row_specs(ht.shape[1])
     tq = isinstance(wt_in, tuple)
+    tvd = tq and not tmat and wt_in[0].shape[0] != ht.shape[1]
+    if tvd:  # vocab-major int8 head: [BV, dt] row blocks (fused_loca)
+        cspec_t = _w_spec(ht.shape[1], True)
     t_ops = (wt_in[0], wt_in[1]) if tq else (wt_in,)
     t_specs = [cspec_t, _wts_spec()] if tq else [cspec_t]
     kl, ls, lt = pl.pallas_call(
         functools.partial(_kl_fwd1_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, vd=vd, tmat=tmat, tq=tq),
+                          n_v=n_v, vd=vd, tmat=tmat, tq=tq, t_vd=tvd),
         grid=(n_n, n_v),
         in_specs=[hspec, _w_spec(d, vd), hspec_t, *t_specs],
         out_specs=[rspec] * 3,
@@ -242,12 +248,15 @@ def _kl_rows_bwd(v_real, inv_t, vd, tmat, res, g):
     else:
         hspec_t, cspec_t, _ = _row_specs(ht.shape[1])
     tq = isinstance(wt_in, tuple)
+    tvd = tq and not tmat and wt_in[0].shape[0] != ht.shape[1]
+    if tvd:
+        cspec_t = _w_spec(ht.shape[1], True)
     t_ops = (wt_in[0], wt_in[1]) if tq else (wt_in,)
     t_specs = [cspec_t, _wts_spec()] if tq else [cspec_t]
 
     dhs = pl.pallas_call(
         functools.partial(_kl_dhs_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, vd=vd, tmat=tmat, tq=tq),
+                          n_v=n_v, vd=vd, tmat=tmat, tq=tq, t_vd=tvd),
         grid=(n_n, n_v),
         in_specs=[hspec, _w_spec(d, vd), hspec_t, *t_specs,
                   rspec, rspec, rspec],
@@ -264,10 +273,12 @@ def _kl_rows_bwd(v_real, inv_t, vd, tmat, res, g):
         hspec2_t, cspec2_t = _tmat_specs(q_major=False)
     else:
         hspec2_t, cspec2_t, _ = _row_specs(ht.shape[1], q_major=False)
+    if tvd:
+        cspec2_t = _w_spec(ht.shape[1], True, q_major=False)
     t_specs2 = [cspec2_t, _wts_spec(q_major=False)] if tq else [cspec2_t]
     dws = pl.pallas_call(
         functools.partial(_kl_dws_kernel, v_real=v_real, inv_t=inv_t,
-                          n_n=n_n, vd=vd, tmat=tmat, tq=tq),
+                          n_n=n_n, vd=vd, tmat=tmat, tq=tq, t_vd=tvd),
         grid=(n_v, n_n),
         in_specs=[hspec2, _w_spec(d, vd, q_major=False), hspec2_t, *t_specs2,
                   rspec2, rspec2, rspec2],
@@ -306,7 +317,9 @@ def fused_kl_sum(
     vd = student_head_layout == "vd"
     n, _ = student_hidden.shape
     v_real = student_head.shape[0] if vd else student_head.shape[1]
-    check_teacher_vocab(teacher_head, v_real)
+    tvd = (isinstance(teacher_head, tuple)
+           and teacher_head[0].shape[0] != teacher_hidden.shape[1])
+    check_teacher_vocab(teacher_head, v_real, vd=tvd)
     inv_t = 1.0 / temperature
 
     hs = _pad_to(student_hidden, BN, 0)
@@ -324,7 +337,8 @@ def fused_kl_sum(
         ws = _pad_to(ws, 128, 1 if vd else 0)
     if ht.shape[1] % 128 != 0:
         ht = _pad_to(ht, 128, 1)
-        wt = ((_pad_to(wt[0], 128, 0), wt[1]) if isinstance(wt, tuple)
+        wt = ((_pad_to(wt[0], 128, 1 if tvd else 0), wt[1])
+              if isinstance(wt, tuple)
               else _pad_to(wt, 128, 0))
 
     kl_rows = _kl_rows(hs, ws, ht, wt, v_real, inv_t, vd,

@@ -53,27 +53,36 @@ def _logits_block(h_ref, w_ref, inv_t):
     ) * inv_t
 
 
-def _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref=None):
+def _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref=None, t_vd=False):
     """Teacher logits block: recomputed from (hidden, head) or — when
     ``tmat`` — streamed from a pre-materialized [N, V] f32 logit matrix
     (already scaled by 1/T) passed in the ``ht`` slot.  Materializing
     trades ~2·N·Dt·V re-FLOPs per sweep for one HBM read of the block —
     a win whenever the [N, V] f32 buffer fits (single-chip B=1).
 
-    ``wts_ref`` (int8-head form): ``wt_ref`` holds an int8 [Dt, BV] block
-    and ``wts_ref`` its f32 [1, BV] per-vocab-column dequant scales.  The
-    per-column scale factors out of the row dot exactly —
+    ``wts_ref`` (int8-head form): ``wt_ref`` holds an int8 head block and
+    ``wts_ref`` its f32 [1, BV] per-vocab dequant scales.  The per-vocab
+    scale factors out of the row dot exactly —
     ``h @ (q * s) == (h @ q) * s`` — so the block dequantizes as one VPU
     multiply AFTER the MXU dot, at half the head HBM traffic.  Edge-block
     OOB reads are safe: int8 garbage is always finite, and any NaN/Inf in
     the f32 scale tail lands only in cols >= v_real, which every caller
-    masks (same contract as the bf16 edge garbage, see _masked_w)."""
+    masks (same contract as the bf16 edge garbage, see _masked_w).
+
+    ``t_vd`` (static, r5): the int8 head is stored [Vt, Dt] — vocab-major,
+    the layout the quantizer now emits — and the block is [BV, Dt] rows
+    with the dot contracting both operands' dim 1 (the student vd form).
+    The [Dt, Vt] storage forced XLA to materialize a 520 MB retiled copy
+    of the whole int8 head (plus a remat twin) before every pallas loss
+    call — the top single copy/layout op of the r5 step profile and the
+    allocation that blocked B=2/accum fits; vocab-major blocks read the
+    parameter in place, exactly like the student's [V, D] tied head."""
     if tmat:
         return ht_ref[:]
     if wts_ref is not None:
         t = jax.lax.dot_general(
             ht_ref[:], wt_ref[:].astype(ht_ref.dtype),
-            (((1,), (0,)), ((), ())),
+            (((1,), (1,) if t_vd else (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * wts_ref[:]
         return t if inv_t == 1.0 else t * inv_t
@@ -423,6 +432,21 @@ def _tmat_specs(q_major=True):
 _TMAT_DUMMY_SHAPE = (8, 128)
 
 
+def _t_vd(ht, wt) -> bool:
+    """Static orientation of an int8 teacher head: True when ``wt[0]`` is
+    stored vocab-major [Vt, Dt] (the r5 quantizer layout), False for the
+    legacy [Dt, Vt].  Inferred from shapes — ``ht`` is [N, Dt] (or the
+    [N, V] tmat matrix, whose callers never ask) — so the custom_vjp
+    signatures stay unchanged.  A square head is ambiguous: refuse."""
+    wq = wt[0]
+    dt = ht.shape[1]
+    if wq.shape[0] == dt and wq.shape[1] == dt:
+        raise ValueError(
+            "square int8 teacher head: orientation is ambiguous — "
+            "use distinct Dt/Vt")
+    return wq.shape[0] != dt
+
+
 def _wts_spec(q_major=True):
     """Spec for the int8-head dequant-scale operand: f32 [1, BV] blocks of
     the [1, V] per-vocab-column scale row (see _t_block)."""
@@ -436,9 +460,10 @@ def _wts_spec(q_major=True):
 def _call_rows(kernel, hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
                out_spec, out_shape, scratch, extra=(), q_major=True,
                ws_spec=None, tmat=False, sem=None):
-    """``wt`` may be (wt_q int8 [dt, V], wts f32 [1, V]) — the int8-head
-    form: the scale rides as one extra operand right after the head and
-    the kernel is invoked with ``tq=True`` (see _t_block)."""
+    """``wt`` may be (wt_q int8 [V, dt] vocab-major — or legacy [dt, V] —
+    , wts f32 [1, V]) — the int8-head form: the scale rides as one extra
+    operand right after the head and the kernel is invoked with
+    ``tq=True`` (and ``t_vd=True`` for vocab-major; see _t_block)."""
     hspec, cspec, rspec = _specs(d, q_major)
     if tmat:
         hspec_t, cspec_t = _tmat_specs(q_major)
@@ -447,6 +472,10 @@ def _call_rows(kernel, hs, ws, ht, wt, lab2, rows, n, d, dt, n_n, n_v,
     if ws_spec is not None:
         cspec = ws_spec
     tq = isinstance(wt, tuple)
+    if tq and not tmat and wt[0].shape[0] != dt:
+        # vocab-major [V, dt] head: [BV, dt] row blocks, read in place
+        cspec_t = _ws_block_spec(dt, True, q_major)
+        kernel = functools.partial(kernel, t_vd=True)
     t_ops, t_specs = ((wt[0], wt[1]), [cspec_t, _wts_spec(q_major)]) \
         if tq else ((wt,), [cspec_t])
     if tq:
@@ -628,7 +657,8 @@ def fused_loca_loss(
 
 def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
                      v_real: int, inv_t: float, n_v: int, vd: bool,
-                     tmat: bool = False, tq: bool = False):
+                     tmat: bool = False, tq: bool = False,
+                     t_vd: bool = False):
     """_stats_kernel + student T=1 logsumexp + student CE gold logit.
 
     ``tq``: the int8-teacher-head form — one extra operand (the f32
@@ -658,7 +688,7 @@ def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
         sc_gs[:] = jnp.zeros_like(sc_gs)
 
     s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref, t_vd)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
     s1 = jnp.where(in_vocab, s_raw, NEG)
@@ -715,7 +745,8 @@ def _stats_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
 
 def _klts_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
                      v_real: int, inv_t: float, n_v: int, eps: float,
-                     vd: bool, tmat: bool = False, tq: bool = False):
+                     vd: bool, tmat: bool = False, tq: bool = False,
+                     t_vd: bool = False):
     """_kl_fwd_kernel that also emits tsum (sum of live loca) per row, so
     the backward skips its dedicated stats sweep."""
     wts_ref = None
@@ -731,7 +762,7 @@ def _klts_fwd_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
         acc_ts[:] = jnp.zeros_like(acc_ts)
 
     s = _s_logits_block(hs_ref, ws_ref, inv_t, vd)
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref, t_vd)
     cols = _col_ids(j, s.shape[0], s.shape[1])
     in_vocab = cols < v_real
     s = jnp.where(in_vocab, s, NEG)
@@ -785,7 +816,8 @@ def _combined_ds(s_raw, t, cols, in_vocab, labels, labels_ce,
 
 def _dhs_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
                    v_real: int, inv_t: float, n_v: int, eps: float,
-                   vd: bool, tmat: bool = False, tq: bool = False):
+                   vd: bool, tmat: bool = False, tq: bool = False,
+                     t_vd: bool = False):
     wts_ref = None
     if tq:
         wts_ref, *rest = rest
@@ -800,7 +832,7 @@ def _dhs_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
         acc[:] = jnp.zeros_like(acc)
 
     s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref, t_vd)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
     t = jnp.where(in_vocab, t, NEG)
@@ -823,7 +855,8 @@ def _dhs_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
 
 def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
                    v_real: int, inv_t: float, n_n: int, eps: float,
-                   vd: bool, tmat: bool = False, tq: bool = False):
+                   vd: bool, tmat: bool = False, tq: bool = False,
+                     t_vd: bool = False):
     wts_ref = None
     if tq:
         wts_ref, *rest = rest
@@ -838,7 +871,7 @@ def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
         acc[:] = jnp.zeros_like(acc)
 
     s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref, t_vd)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
     t = jnp.where(in_vocab, t, NEG)
@@ -867,7 +900,8 @@ def _dws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
 def _dhsws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
                      v_real: int, inv_t: float, n_n: int, n_v: int,
                      eps: float, vd: bool, tmat: bool = False,
-                     partials: bool = False, tq: bool = False):
+                     partials: bool = False, tq: bool = False,
+                     t_vd: bool = False):
     """Fused backward: one sweep computes the combined d_logits block and
     contracts it BOTH ways (d_head and d_hidden), instead of recomputing
     the student/teacher logits in two separate kernels.
@@ -911,7 +945,7 @@ def _dhsws_ce_kernel(hs_ref, ws_ref, ht_ref, wt_ref, *rest,
         acc_w[:] = jnp.zeros_like(acc_w)
 
     s_raw = _s_logits_block(hs_ref, ws_ref, 1.0, vd)
-    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref)
+    t = _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref, t_vd)
     cols = _col_ids(j, s_raw.shape[0], s_raw.shape[1])
     in_vocab = cols < v_real
     t = jnp.where(in_vocab, t, NEG)
@@ -974,7 +1008,8 @@ def _materialize_t(ht, wt, inv_t):
     if isinstance(wt, tuple):
         wq, wts = wt
         t = jax.lax.dot_general(
-            ht, wq.astype(ht.dtype), (((1,), (0,)), ((), ())),
+            ht, wq.astype(ht.dtype),
+            (((1,), (1,) if _t_vd(ht, wt) else (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * wts
     else:
@@ -1006,10 +1041,13 @@ def _loca_ce_rows_kernels(hs, ws, t_in, wt_in, lab_loca, lab_ce, v_real,
     n_n, n_v = n // BN, _cdiv(v_width, BV)
     hspec, _, rspec = _specs(d)
     tq = isinstance(wt_in, tuple)
+    tvd = tq and not tmat and wt_in[0].shape[0] != dt
     if tmat:
         hspec_t, cspec_t = _tmat_specs()
     else:
         hspec_t, cspec_t, _ = _specs(dt)
+        if tvd:  # vocab-major int8 head: [BV, dt] row blocks, in place
+            cspec_t = _ws_block_spec(dt, True)
     t_ops = (wt_in[0], wt_in[1]) if tq else (wt_in,)
     t_specs = [cspec_t, _wts_spec()] if tq else [cspec_t]
     wspec = _ws_block_spec(d, vd)
@@ -1017,7 +1055,7 @@ def _loca_ce_rows_kernels(hs, ws, t_in, wt_in, lab_loca, lab_ce, v_real,
     labce2 = lab_ce[:, None].astype(jnp.int32)
     outs = pl.pallas_call(
         functools.partial(_stats_ce_kernel, v_real=v_real, inv_t=inv_t,
-                          n_v=n_v, vd=vd, tmat=tmat, tq=tq),
+                          n_v=n_v, vd=vd, tmat=tmat, tq=tq, t_vd=tvd),
         grid=(n_n, n_v),
         in_specs=[hspec, wspec, hspec_t, *t_specs, rspec, rspec],
         out_specs=[rspec] * 7,
@@ -1176,7 +1214,9 @@ def fused_loca_ce_sums(
     vd = student_head_layout == "vd"
     n = student_hidden.shape[0]
     v_real = student_head.shape[0] if vd else student_head.shape[1]
-    check_teacher_vocab(teacher_head, v_real)
+    tvd = (isinstance(teacher_head, tuple)
+           and teacher_head[0].shape[0] != teacher_hidden.shape[1])
+    check_teacher_vocab(teacher_head, v_real, vd=tvd)
     inv_t = 1.0 / temperature
 
     hs = _pad_to(student_hidden, BN, 0)
@@ -1201,7 +1241,8 @@ def fused_loca_ce_sums(
         ws = _pad_to(ws, 128, 1 if vd else 0)
     if ht.shape[1] % 128 != 0:
         ht = _pad_to(ht, 128, 1)
-        wt = ((_pad_to(wt[0], 128, 0), wt[1]) if isinstance(wt, tuple)
+        wt = ((_pad_to(wt[0], 128, 1 if tvd else 0), wt[1])
+              if isinstance(wt, tuple)
               else _pad_to(wt, 128, 0))
 
     kl_rows, ce_rows = _loca_ce_rows(

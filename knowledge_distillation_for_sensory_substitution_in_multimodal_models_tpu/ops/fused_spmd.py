@@ -157,8 +157,11 @@ def _t_head_matmul(ht, wt, v: int):
         # (wq[:, :v]) materializes a near-full int8 head copy per chip
         # (+0.5 GiB at 7B dims in the AOT budget); the extra Vt - v
         # columns are 0.1% of the FLOPs and the convert fuses into the
-        # dot's operand load
-        t = jnp.einsum("nd,dv->nv", ht, wq.astype(ht.dtype),
+        # dot's operand load.  Handles both storage orientations (r5
+        # vocab-major [Vt, Dt] and legacy [Dt, Vt] — ops/int8.py).
+        spec = ("nd,vd->nv" if wq.shape[0] != ht.shape[1]
+                else "nd,dv->nv")
+        t = jnp.einsum(spec, ht, wq.astype(ht.dtype),
                        preferred_element_type=jnp.float32)
         return t[:, :v] * wsc.reshape(-1)[:v]
     return _head_matmul(ht, wt[:, :v], False)

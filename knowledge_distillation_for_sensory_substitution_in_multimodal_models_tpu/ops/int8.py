@@ -298,8 +298,16 @@ def quantize_lm_params_int8(
                     "embedding_q": eq, "embedding_scale": es,
                 }
             if "lm_head" in lm and "kernel" in lm["lm_head"]:
+                # Stored VOCAB-MAJOR [Vt, Dt] (r5): the fused loss
+                # kernels stream [BV, Dt] row blocks in place, exactly
+                # like the student's tied [V, D] head.  The legacy
+                # [Dt, Vt] storage forced XLA to retile a 520 MB copy of
+                # the whole int8 head (plus a remat twin) ahead of every
+                # pallas loss call — the top copy/layout op of the r5
+                # step profile and the allocation blocking B=2 on one
+                # chip.  Scales stay per-vocab (now per-ROW of wq).
                 wq, ws = absmax_quantize_weight(lm["lm_head"]["kernel"])
-                lm["lm_head"] = {"kernel_q": wq, "kernel_scale": ws}
+                lm["lm_head"] = {"kernel_q": wq.T, "kernel_scale": ws}
         new["language_model"] = lm
         if include_vision and "vision_tower" in params:
             new["vision_tower"] = _quantize_tree(

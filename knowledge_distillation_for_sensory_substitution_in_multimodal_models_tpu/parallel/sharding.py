@@ -90,7 +90,10 @@ def _rule_for_path(path: Tuple[str, ...]) -> Tuple:
         if parent in ("o_proj", "down_proj", "out_proj", "fc2"):
             return (AXIS_TENSOR, AXIS_FSDP)
         if parent == "lm_head":
-            return (AXIS_FSDP, AXIS_TENSOR)
+            # stored VOCAB-MAJOR [Vt, Dt] since r5 (ops/int8.py): the
+            # vocab axis (dim 0) shards over tensor, matching the
+            # per-vocab kernel_scale's (TENSOR,) below
+            return (AXIS_TENSOR, AXIS_FSDP)
         return ()
     if name == "kernel_scale":
         if parent in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",

@@ -79,12 +79,18 @@ def teacher_head(params: Dict[str, Any], cfg: LlavaOnevisionConfig):
 
 
 def dense_teacher_head(wt, dtype=jnp.bfloat16):
-    """Dequantize an int8 (kernel_q, kernel_scale) teacher head for the
-    non-fused loss paths (chunked scan, faithful-LoCa materialized logits).
-    One [Dt, Vt] temp — the fused kernels avoid it entirely."""
+    """Dequantize an int8 (kernel_q, kernel_scale) teacher head to dense
+    [Dt, Vt] for the non-fused loss paths (chunked scan, faithful-LoCa).
+    One [Dt, Vt] temp — the fused kernels avoid it entirely.  Handles
+    both storage orientations: the r5 vocab-major [Vt, Dt] (per-row
+    scales; see ops/int8.py) and the legacy [Dt, Vt] (per-column)."""
     if isinstance(wt, tuple):
-        return (wt[0].astype(jnp.float32)
-                * wt[1].reshape(1, -1)).astype(dtype)
+        wq, ws = wt
+        if wq.shape[0] == ws.size and wq.shape[0] != wq.shape[1]:
+            # vocab-major storage: dequant per row, emit [Dt, Vt]
+            return (wq.astype(jnp.float32)
+                    * ws.reshape(-1, 1)).T.astype(dtype)
+        return (wq.astype(jnp.float32) * ws.reshape(1, -1)).astype(dtype)
     return wt
 
 
@@ -257,9 +263,12 @@ def make_loss_fn(models: KDModels, cfg: TrainConfig):
             # (losses/chunked.py::chunked_faithful_loca; parity with the
             # materialized kd_losses.loca_loss(faithful_indexing=True)
             # pinned in tests/test_chunked.py).
+            # wt passes through raw: an int8 (kernel_q, kernel_scale)
+            # teacher head is dequantized per CHUNK inside — the dense
+            # [Dt, Vt] bf16 temp dense_teacher_head would build is the
+            # allocation that OOMed --loca_faithful on one chip (r5)
             metrics["loca"] = chunked_faithful_loca(
-                s_hidden, ws, labels,
-                th, dense_teacher_head(wt, th.dtype),
+                s_hidden, ws, labels, th, wt,
                 temperature=lc.temperature, alpha=lc.loca_alpha,
                 chunk_size=cfg.loss_chunk_size,
             )

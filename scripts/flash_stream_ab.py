@@ -69,6 +69,8 @@ def run_arm(mode: str, stream: str, steps: int, extra=()) -> dict:
     t0 = time.time()
     if mode == "generation":
         res = bench.bench_generation(args)
+    elif mode == "eval_loop":
+        res = bench.bench_eval_loop(args)
     else:
         res = bench.bench_train(args, mode)
     res["wall_s"] = round(time.time() - t0, 1)

@@ -140,3 +140,34 @@ def test_chunked_faithful_loca_all_ignore_labels():
     got = chunked_faithful_loca(sh, ws, labels, th, wt,
                                 temperature=0.8, alpha=0.8, chunk_size=5)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_faithful_loca_int8_tuple_head():
+    """The int8 (kernel_q, kernel_scale) teacher head streams through the
+    chunked faithful path without a dense [Dt, Vt] temp — both storage
+    orientations must match the dense dequantized head exactly."""
+    import jax
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.losses.chunked import (
+        chunked_faithful_loca,
+    )
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
+        absmax_quantize_weight,
+    )
+
+    sh, th, ws, wt, labels = _setup(2)
+    wq, wsc = absmax_quantize_weight(wt)
+    wt_dense = wq.astype(jnp.float32) * wsc[None, :]
+
+    def run(head):
+        def f(sh_, ws_):
+            return chunked_faithful_loca(
+                sh_, ws_, labels, th, head,
+                temperature=0.8, alpha=0.8, chunk_size=5)
+        return jax.value_and_grad(f, argnums=(0, 1))(sh, ws)
+
+    want, (gsh_w, gws_w) = run(wt_dense)
+    for head in ((wq, wsc), (wq.T, wsc)):       # legacy dv / r5 vd
+        got, (gsh, gws) = run(head)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(gsh, gsh_w, rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(gws, gws_w, rtol=1e-4, atol=1e-7)

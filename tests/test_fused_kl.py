@@ -168,3 +168,10 @@ def test_fused_kl_int8_teacher_head():
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gw_q), np.asarray(gw_d),
                                atol=1e-5, rtol=1e-4)
+    # r5 vocab-major storage (what quantize_lm_params_int8 now emits)
+    loss_v, (gh_v, gw_v) = run((wq.T, wsc))
+    np.testing.assert_allclose(loss_v, loss_d, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gh_v), np.asarray(gh_d),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_v), np.asarray(gw_d),
+                               atol=1e-5, rtol=1e-4)

@@ -238,6 +238,14 @@ def test_fused_loca_ce_int8_teacher_head(tmode):
     (loca_d, ce_d), (gh_d, gw_d) = run(wt_dense)
     np.testing.assert_allclose(loca_q, loca_d, rtol=1e-5)
     np.testing.assert_allclose(ce_q, ce_d, rtol=1e-5)
+    # r5 vocab-major storage ([Vt, Dt] + per-row scales — what
+    # quantize_lm_params_int8 now emits; kernels read it in place)
+    (loca_v, ce_v), (gh_v, gw_v) = run((wq.T, wsc))
+    np.testing.assert_allclose(loca_v, loca_d, rtol=1e-5)
+    np.testing.assert_allclose(ce_v, ce_d, rtol=1e-5)
+    for a, b in ((gh_v, gh_d), (gw_v, gw_d)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(gh_q), np.asarray(gh_d),
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gw_q), np.asarray(gw_d),

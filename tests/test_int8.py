@@ -422,6 +422,11 @@ def test_quantize_include_embed_head_layout_and_qembed():
     assert emb["embedding_q"].dtype == jnp.int8
     assert emb["embedding_scale"].shape == (vocab, 1)
     assert set(lm["lm_head"]) == {"kernel_q", "kernel_scale"}
+    # r5: the head is stored VOCAB-MAJOR [Vt, Dt] so the fused loss
+    # kernels stream row blocks in place (no 520 MB retiled copy)
+    dk, vk = tparams["language_model"]["lm_head"]["kernel"].shape
+    assert lm["lm_head"]["kernel_q"].shape == (vk, dk)
+    assert lm["lm_head"]["kernel_scale"].shape == (vk,)
 
     ids = jnp.asarray([[1, 5, 7, 0, vocab - 1]])
     qe = QEmbed(vocab, d, dtype=jnp.float32)
