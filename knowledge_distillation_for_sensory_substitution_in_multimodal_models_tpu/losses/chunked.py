@@ -284,10 +284,24 @@ def chunked_faithful_loca(
 
     def t_probs(th_chunk):
         if tq:
-            t_logits = jnp.einsum(
-                "bcd,vd->bcv" if t_vd else "bcd,dv->bcv",
-                th_chunk, wq.astype(th_chunk.dtype),
-                preferred_element_type=jnp.float32) * wsc
+            # Dequantize per VOCAB SLAB: a whole-head ``wq.astype(bf16)``
+            # is loop-invariant across the chunk scan, and XLA hoists it
+            # into a held [Vs, Dt] bf16 temp (1.01 GB at the 7B head —
+            # the allocation that re-OOMed --loca_faithful after the
+            # dense-head temp was removed).  Slab slices are distinct
+            # inputs, so the converts stay inside the loop at ~1/8 the
+            # temp footprint each.
+            n_slabs = 8 if vs >= 8 * 128 else 1
+            bounds = [vs * i // n_slabs for i in range(n_slabs + 1)]
+            parts = []
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                wq_s = (wq[lo:hi] if t_vd else wq[:, lo:hi]).astype(
+                    th_chunk.dtype)
+                parts.append(jnp.einsum(
+                    "bcd,vd->bcv" if t_vd else "bcd,dv->bcv",
+                    th_chunk, wq_s,
+                    preferred_element_type=jnp.float32) * wsc[lo:hi])
+            t_logits = jnp.concatenate(parts, axis=-1)
         else:
             t_logits = jnp.einsum(
                 "bcd,dv->bcv", th_chunk, wt,
