@@ -200,7 +200,10 @@ def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd, tmat=False):
     n_n, n_v = n // BN, _cdiv(v_width, BV)
     hspec, _, rspec = _row_specs(d)
     if tmat:
-        t_in = _materialize_t(ht, wt, inv_t)
+        t_in = _materialize_t(
+            ht, wt, inv_t,
+            dtype=jnp.bfloat16 if tmat == "bf16" else jnp.float32,
+        )
         wt_in = jnp.zeros(_TMAT_DUMMY_SHAPE, jnp.float32)
         hspec_t, cspec_t = _tmat_specs()
     else:
@@ -341,8 +344,10 @@ def fused_kl_sum(
               if isinstance(wt, tuple)
               else _pad_to(wt, 128, 0))
 
-    kl_rows = _kl_rows(hs, ws, ht, wt, v_real, inv_t, vd,
-                       teacher_logits == "materialize")
+    kl_rows = _kl_rows(
+        hs, ws, ht, wt, v_real, inv_t, vd,
+        {"materialize": "f32", "materialize_bf16": "bf16"}.get(
+            teacher_logits, False))
     return kl_rows[:n].sum()
 
 

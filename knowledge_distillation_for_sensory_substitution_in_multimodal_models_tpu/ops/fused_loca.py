@@ -78,7 +78,10 @@ def _t_block(ht_ref, wt_ref, inv_t, tmat, wts_ref=None, t_vd=False):
     allocation that blocked B=2/accum fits; vocab-major blocks read the
     parameter in place, exactly like the student's [V, D] tied head."""
     if tmat:
-        return ht_ref[:]
+        t = ht_ref[:]
+        # "bf16" tmat streams bfloat16 blocks (half the HBM of the f32
+        # form); all downstream softmax/lse math stays f32 from here
+        return t if t.dtype == jnp.float32 else t.astype(jnp.float32)
     if wts_ref is not None:
         t = jax.lax.dot_general(
             ht_ref[:], wt_ref[:].astype(ht_ref.dtype),
@@ -1000,11 +1003,18 @@ def _loca_ce_rows(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t, alpha,
     return kl, ce
 
 
-def _materialize_t(ht, wt, inv_t):
-    """[N, V] f32 teacher logits at 1/T in one XLA matmul (same dot +
+def _materialize_t(ht, wt, inv_t, dtype=jnp.float32):
+    """[N, V] teacher logits at 1/T in one XLA matmul (same dot +
     scale as ``_logits_block``, so values match the recompute form up to
     f32 accumulation order).  ``wt`` may be the int8 (kernel_q, scale)
-    pair — the per-column scale factors out of the dot exactly."""
+    pair — the per-column scale factors out of the dot exactly.
+
+    ``dtype=jnp.bfloat16`` halves the buffer (934 MB at N=3072,
+    V=152128 — the fit-enabling form at the real-7B workload, where the
+    f32 matrix's 1.9 GB does not fit beside the 8 GB int8 teacher).  The
+    cast costs ~2^-9 relative rounding on the logits BEFORE the f32
+    softmax/lse math — a bounded, documented deviation from the
+    recompute form, same contract as the accum_dtype=bf16 carry."""
     if isinstance(wt, tuple):
         wq, wts = wt
         t = jax.lax.dot_general(
@@ -1017,13 +1027,20 @@ def _materialize_t(ht, wt, inv_t):
             ht, wt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    return t if inv_t == 1.0 else t * inv_t
+    if inv_t != 1.0:
+        t = t * inv_t
+    # XLA fuses the cast into the matmul epilogue: only the narrow
+    # buffer ever materializes in HBM
+    return t if dtype == jnp.float32 else t.astype(dtype)
 
 
 def _loca_ce_rows_impl(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t,
                        alpha, eps, vd, tmat):
     if tmat:
-        t_in = _materialize_t(ht, wt, inv_t)
+        t_in = _materialize_t(
+            ht, wt, inv_t,
+            dtype=jnp.bfloat16 if tmat == "bf16" else jnp.float32,
+        )
         wt_in = jnp.zeros(_TMAT_DUMMY_SHAPE, jnp.float32)
     else:
         t_in, wt_in = ht, wt
@@ -1195,7 +1212,12 @@ def fused_loca_ce_sums(
     logit matrix ONCE (one XLA matmul) and streams blocks of it through
     all four sweeps, instead of recomputing the 2·N·Dt·V teacher dot in
     every sweep.  Costs N·V·4 bytes of HBM held fwd→bwd (~1.9 GB at
-    N=3072, V=152k) — the single-chip B=1 configuration affords it; the
+    N=3072, V=152k).  ``"materialize_bf16"`` stores the matrix in
+    bfloat16 instead — half the HBM (934 MB; fits beside the 8 GB int8
+    7B teacher) and half the sweep read traffic, at ~2^-9 relative
+    logit rounding before the f32 softmax (see _materialize_t) — the
+    default at the real-7B workload.  The f32 form suits the
+    single-chip B=1 stand-in configuration; the
     row-sharded mesh path defaults to "recompute" (per-shard N is small
     and the buffer multiplies per chip) with per-shard materialization
     opt-in via KDSS_LOCA_TMAT_MESH=1 (ops/fused_spmd.py::_mesh_tmode).
@@ -1210,7 +1232,8 @@ def fused_loca_ce_sums(
     the kernels stream the int8 head and dequantize per block in VMEM
     (half the head HBM traffic; no bf16 head copy — see _t_block).
     """
-    tmat = teacher_logits == "materialize"
+    tmat = {"materialize": "f32", "materialize_bf16": "bf16"}.get(
+        teacher_logits, False)
     vd = student_head_layout == "vd"
     n = student_hidden.shape[0]
     v_real = student_head.shape[0] if vd else student_head.shape[1]

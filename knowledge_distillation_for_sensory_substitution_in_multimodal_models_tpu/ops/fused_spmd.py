@@ -54,6 +54,18 @@ from .fused_loca import (
 )
 
 
+def _single_tmode() -> str:
+    """Teacher-logits form for the single-device pallas path.
+    ``KDSS_LOCA_TMAT``: "1" (default) = materialize the [N, V] f32
+    logits once per step; "bf16" = materialize in bfloat16 (half the
+    buffer — the fit at the real-7B vocab, see fused_loca._materialize_t);
+    "0" = recompute per sweep."""
+    v = os.environ.get("KDSS_LOCA_TMAT", "1")
+    if v == "bf16":
+        return "materialize_bf16"
+    return "materialize" if v == "1" else "recompute"
+
+
 def _mesh_tmode() -> str:
     """Teacher-logits form for the per-shard pallas arm.  Default
     recompute; ``KDSS_LOCA_TMAT_MESH=1`` opts into materializing each
@@ -292,13 +304,10 @@ def fused_kl_loss_spmd(
     if mesh is None:
         # materialized teacher logits on the single-device path (see
         # fused_loca_ce_loss_spmd below for rationale + measurement)
-        tmode = ("materialize"
-                 if os.environ.get("KDSS_LOCA_TMAT", "1") == "1"
-                 else "recompute")
         return fused_kl_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
             temperature=temperature, student_head_layout=student_head_layout,
-            teacher_logits=tmode,
+            teacher_logits=_single_tmode(),
         )
     axes = _row_axes(mesh, n)
 
@@ -399,18 +408,16 @@ def fused_loca_ce_loss_spmd(
         # recomputing the teacher dot per sweep (~3x 2·N·Dt·V FLOPs saved
         # for ~1.9 GB HBM at the KD shapes — measured +3.1% KD step on
         # v5e, loss trace unchanged to 5 decimals; docs/PERF_NOTES.md).
-        # KDSS_LOCA_TMAT=0 restores recompute.
+        # KDSS_LOCA_TMAT=0 restores recompute; =bf16 materializes in
+        # bfloat16 (half the buffer — the real-7B default, bench.py).
         # The mesh path below defaults to recompute (per-shard rows are
         # few); KDSS_LOCA_TMAT_MESH=1 opts in per-shard materialization
         # (see _mesh_tmode).
-        tmode = ("materialize"
-                 if os.environ.get("KDSS_LOCA_TMAT", "1") == "1"
-                 else "recompute")
         return fused_loca_ce_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
             loca_labels, ce_labels, temperature=temperature, alpha=alpha,
             eps=eps, student_head_layout=student_head_layout,
-            teacher_logits=tmode,
+            teacher_logits=_single_tmode(),
         )
     axes = _row_axes(mesh, n)
 

@@ -152,6 +152,68 @@ def test_fused_loca_ce_materialized_teacher_matches_recompute(vd_layout):
     np.testing.assert_allclose(np.asarray(gw_m), np.asarray(gw_r),
                                rtol=1e-4, atol=1e-6)
 
+@pytest.mark.parametrize("vd_layout", ["dv", "vd"])
+def test_fused_loca_ce_bf16_tmat_matches_rounded_oracle(vd_layout):
+    """teacher_logits="materialize_bf16" stores the [N, V] teacher logits
+    (already at 1/T) in bfloat16.  The ONLY deviation from the f32 form
+    is that one rounding, so a dense oracle with the teacher logits
+    rounded at the same point must agree to kernel accumulation order —
+    and CE (student-only math) must match the recompute run exactly."""
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.losses.kd_losses import (
+        loca_loss,
+    )
+
+    n, ds, dt, v, vt, temp, alpha = 64, 128, 256, 300, 340, 0.8, 0.8
+    rng = np.random.default_rng(11)
+    hs = jnp.asarray(rng.normal(size=(n, ds)).astype(np.float32))
+    ht = jnp.asarray(rng.normal(size=(n, dt)).astype(np.float32))
+    ws0 = rng.normal(size=(ds, v)).astype(np.float32) * 0.05
+    ws = jnp.asarray(ws0.T if vd_layout == "vd" else ws0)
+    wt = jnp.asarray(rng.normal(size=(dt, vt)).astype(np.float32) * 0.05)
+    loca_labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    loca_labels[:7] = -100
+    ce_labels = rng.integers(0, v, size=(n,)).astype(np.int32)
+    ce_labels[-9:] = -100
+    loca_labels, ce_labels = jnp.asarray(loca_labels), jnp.asarray(ce_labels)
+
+    def run(mode):
+        def f(hs_, ws_):
+            loca, ce = fused_loca_ce_loss(
+                hs_, ws_, ht, wt, loca_labels, ce_labels,
+                temperature=temp, alpha=alpha,
+                student_head_layout=vd_layout, teacher_logits=mode,
+            )
+            return 0.8 * loca + ce, (loca, ce)
+        with pltpu.force_tpu_interpret_mode():
+            (tot, (loca, ce)), (gh, gw) = jax.value_and_grad(
+                f, argnums=(0, 1), has_aux=True
+            )(hs, ws)
+        return tot, loca, ce, gh, gw
+
+    _, loca_b, ce_b, gh_b, gw_b = run("materialize_bf16")
+    _, _, ce_r, _, _ = run("recompute")
+
+    # dense oracle: round the 1/T-scaled teacher logits through bf16 at
+    # exactly the point _materialize_t does, then the reference loss
+    t_rounded = ((ht @ wt) * (1.0 / temp)).astype(jnp.bfloat16).astype(
+        jnp.float32) * temp
+    s_logits = (hs @ (ws.T if vd_layout == "vd" else ws))[None]
+    want_loca = loca_loss(t_rounded[None], s_logits, loca_labels[None],
+                          temperature=temp, alpha=alpha)
+    np.testing.assert_allclose(float(loca_b), float(want_loca),
+                               rtol=1e-4, atol=1e-7)
+    # CE never touches the teacher: identical to the recompute run
+    np.testing.assert_allclose(float(ce_b), float(ce_r),
+                               rtol=1e-6, atol=0)
+    # gradients: bound against the f32 materialize arm — same CE math,
+    # loca differs only by the one bf16 rounding of the teacher logits
+    _, _, _, gh_m, gw_m = run("materialize")
+    np.testing.assert_allclose(np.asarray(gh_b), np.asarray(gh_m),
+                               rtol=5e-2, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(gw_b), np.asarray(gw_m),
+                               rtol=5e-2, atol=5e-4)
+
+
 @pytest.mark.parametrize("vd_layout,tmode,bwd_mode", [
     ("dv", "recompute", "1"), ("vd", "recompute", "1"),
     ("vd", "materialize", "1"),
