@@ -57,9 +57,12 @@ from .fused_loca import (
 def _single_tmode() -> str:
     """Teacher-logits form for the single-device pallas path.
     ``KDSS_LOCA_TMAT``: "1" (default) = materialize the [N, V] f32
-    logits once per step; "bf16" = materialize in bfloat16 (half the
-    buffer — the fit at the real-7B vocab, see fused_loca._materialize_t);
-    "0" = recompute per sweep."""
+    logits once per step (+3.1% measured at the stand-in, r3); "bf16" =
+    materialize in bfloat16 — half the buffer and half the sweep read
+    traffic at ~2^-9 logit rounding (see fused_loca._materialize_t; the
+    form bench.py selects at the real-7B vocab, where the f32 matrix's
+    1.9 GB does not fit beside the 8 GB int8 teacher); "0" = recompute
+    the teacher dot in every sweep."""
     v = os.environ.get("KDSS_LOCA_TMAT", "1")
     if v == "bf16":
         return "materialize_bf16"
