@@ -301,6 +301,16 @@ def bench_train(args, mode: str) -> dict:
         orig_sizes=[orig] * args.batch, accum=args.accum, seed=0,
     )
     batch = jax.tree.map(jnp.asarray, batch)
+    if not args.cpu and dtype == jnp.bfloat16:
+        # Feed pixels pre-cast to the model dtype: the vision towers'
+        # first op is pixel_values.astype(bf16) (models/siglip.py:109),
+        # so the host cast is value-identical — and it halves the pixel
+        # input buffer AND kills the loop-invariant [accum, ...] convert
+        # temps XLA hoists out of the accumulation scan (2 x 33.75 MB at
+        # accum=8 — the r5 accum-fit dumps, docs/PERF_NOTES.md).
+        batch = {k: (v.astype(jnp.bfloat16)
+                     if k.endswith("pixel_values") else v)
+                 for k, v in batch.items()}
     micro = jax.tree.map(lambda x: x[0], batch)
     sparams = _materialize(_shapes(student, micro, 0, "student"), 0, dtype)
 
