@@ -85,9 +85,11 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     """AdamW (torch defaults) with optional cosine annealing + freeze mask.
 
-    ``mu_dtype="bfloat16"`` stores Adam's first moment in bf16 (the second
-    moment stays f32) — 1 GB less HBM on the 0.5B student, which is what
-    lets the phase-3 KD step fit B=2 on one 16 GB chip (PERF_NOTES).
+    ``mu_dtype="bfloat16"`` forces Adam's first moment to bf16.  NOTE:
+    optax's default (``None``) already stores mu/nu in the PARAM dtype,
+    so with bf16 params this flag is a measured no-op (byte-identical
+    HBM footprint, r5 accum-fit arms — docs/PERF_NOTES.md); it only
+    shrinks state for f32-param configs.
     """
     if cosine_t_max > 0:
         lr = cosine_annealing_schedule(learning_rate, cosine_t_max, steps_per_epoch)
