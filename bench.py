@@ -832,8 +832,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "models/qwen2.py::Qwen2MLP.seq_chunk). Default: 1024 "
                     "when --teacher 7b (fit-enabling), else 0 (off)")
     ap.add_argument("--mu_dtype", choices=["f32", "bf16"], default="f32",
-                    help="bf16: Adam first moment in bf16 (-1 GB HBM on "
-                    "the 0.5B student; what lets KD phase-3 fit B=2)")
+                    help="bf16: force Adam's first moment to bf16. "
+                    "Measured no-op at the bf16-param bench configs "
+                    "(optax already stores mu/nu in the param dtype); "
+                    "only shrinks state for f32-param runs")
     ap.add_argument("--student_quant",
                     choices=["none", "int8", "int8_full"],
                     default="none",
