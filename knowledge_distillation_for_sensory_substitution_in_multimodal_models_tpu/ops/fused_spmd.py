@@ -69,6 +69,29 @@ def _single_tmode() -> str:
     return "materialize" if v == "1" else "recompute"
 
 
+def _tmat_row_chunk(n: int, tmode: str) -> Optional[int]:
+    """Row-chunk size for the bf16 materialized-teacher-logits form, or
+    None to run single-shot.  The bf16 tmat exists for the real-7B fit,
+    where even its 891 MB [3072, 152128] buffer left the chip ~2 MB
+    short at runtime (r5 accum-fit arms); chunking rows through a
+    checkpointed scan keeps one [c, V] slab live at a time (298 MB at
+    c=1024) at unchanged FLOPs — XLA was already rematerializing the
+    single-shot buffer between fwd and bwd.  The f32 form is NOT
+    chunked: it predates this lever and its single-shot sum order is
+    pinned by the stand-in's canonical loss trace.
+    ``KDSS_LOCA_TMAT_CHUNK``: row-chunk override (0 = single-shot)."""
+    if tmode != "materialize_bf16":
+        return None
+    env = os.environ.get("KDSS_LOCA_TMAT_CHUNK")
+    if env is not None:
+        c = int(env)
+        return c if 0 < c < n and n % c == 0 else None
+    for c in (1024, 1536, 512, 768):
+        if n > c and n % c == 0:
+            return c
+    return None
+
+
 def _mesh_tmode() -> str:
     """Teacher-logits form for the per-shard pallas arm.  Default
     recompute; ``KDSS_LOCA_TMAT_MESH=1`` opts into materializing each
@@ -126,11 +149,14 @@ def _row_chunk(n: int) -> Optional[int]:
     return None
 
 
-def _rowchunked(fn, row_args: Tuple[jnp.ndarray, ...], n_out: int):
+def _rowchunked(fn, row_args: Tuple[jnp.ndarray, ...], n_out: int,
+                chunk: Optional[int] = None):
     """Sum ``fn``'s scalar outputs over row chunks, rematerializing each
-    chunk's intermediates in backward.  Exact up to f32 sum association."""
+    chunk's intermediates in backward.  Exact up to f32 sum association.
+    ``chunk`` overrides the XLA-arm default (_row_chunk): the pallas
+    tmat caller uses larger rows-per-launch (see _tmat_row_chunk)."""
     n = row_args[0].shape[0]
-    c = _row_chunk(n)
+    c = chunk if chunk is not None else _row_chunk(n)
     if c is None:
         return fn(*row_args)
     chunked = tuple(a.reshape(n // c, c, *a.shape[1:]) for a in row_args)
@@ -141,12 +167,18 @@ def _rowchunked(fn, row_args: Tuple[jnp.ndarray, ...], n_out: int):
     if n_out == 1:
         out_sds = (out_sds,)
 
-    @functools.partial(jax.checkpoint, prevent_cse=False)
     def body(carry, xs):
         outs = fn(*xs)
         if n_out == 1:
             outs = (outs,)
         return tuple(cc + o.astype(cc.dtype) for cc, o in zip(carry, outs)), None
+
+    if os.environ.get("KDSS_ROWCHUNK_REMAT", "1") == "1":
+        # interpret-mode Pallas carries an IO effect that cannot live
+        # under remat partial-eval — CPU parity tests flip this env to
+        # run the chunked path un-remat'd (memory is irrelevant there);
+        # the TPU path always remats (that is the lever's entire point)
+        body = functools.partial(jax.checkpoint, prevent_cse=False)(body)
 
     init = tuple(jnp.zeros((), s.dtype) for s in out_sds)
     outs, _ = jax.lax.scan(body, init, chunked)
@@ -307,10 +339,25 @@ def fused_kl_loss_spmd(
     if mesh is None:
         # materialized teacher logits on the single-device path (see
         # fused_loca_ce_loss_spmd below for rationale + measurement)
+        tmode = _single_tmode()
+        c = _tmat_row_chunk(n, tmode)
+        if c is not None:
+            # row-chunked bf16 tmat — see fused_loca_ce_loss_spmd
+            def fn(hs_c, ht_c):
+                return fused_kl_sum(
+                    hs_c, student_head, ht_c, teacher_head,
+                    temperature=temperature,
+                    student_head_layout=student_head_layout,
+                    teacher_logits=tmode,
+                )
+
+            total = _rowchunked(
+                fn, (student_hidden, teacher_hidden), n_out=1, chunk=c)
+            return total / (n * v_real) * (temperature ** 2)
         return fused_kl_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
             temperature=temperature, student_head_layout=student_head_layout,
-            teacher_logits=_single_tmode(),
+            teacher_logits=tmode,
         )
     axes = _row_axes(mesh, n)
 
@@ -416,11 +463,36 @@ def fused_loca_ce_loss_spmd(
         # The mesh path below defaults to recompute (per-shard rows are
         # few); KDSS_LOCA_TMAT_MESH=1 opts in per-shard materialization
         # (see _mesh_tmode).
+        tmode = _single_tmode()
+        c = _tmat_row_chunk(n, tmode)
+        if c is not None:
+            # Row-chunked bf16 tmat (see _tmat_row_chunk): materialize
+            # [c, V] per chunk inside a checkpointed scan so only one
+            # chunk's logits are ever live (298 MB at c=1024 vs the
+            # 891 MB single-shot that missed the 7B B=1 fit by ~2 MB).
+            # XLA already rematerialized the single-shot buffer between
+            # fwd and bwd, so the replay adds no FLOPs it wasn't paying.
+            def fn(hs_c, ht_c, lab_c, labce_c):
+                return fused_loca_ce_sums(
+                    hs_c, student_head, ht_c, teacher_head, lab_c, labce_c,
+                    temperature=temperature, alpha=alpha, eps=eps,
+                    student_head_layout=student_head_layout,
+                    teacher_logits=tmode,
+                )
+
+            kl_sum, ce_sum, count = _rowchunked(
+                fn,
+                (student_hidden, teacher_hidden, loca_labels, ce_labels),
+                n_out=3, chunk=c,
+            )
+            loca = kl_sum / (n * v_real) * (temperature ** 2)
+            ce = ce_sum / jnp.maximum(count, 1)
+            return loca, ce
         return fused_loca_ce_loss(
             student_hidden, student_head, teacher_hidden, teacher_head,
             loca_labels, ce_labels, temperature=temperature, alpha=alpha,
             eps=eps, student_head_layout=student_head_layout,
-            teacher_logits=_single_tmode(),
+            teacher_logits=tmode,
         )
     axes = _row_axes(mesh, n)
 

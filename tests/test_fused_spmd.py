@@ -394,3 +394,52 @@ def test_fused_spmd_int8_teacher_head_streams_through_mesh():
         for a, b in zip(g_q, g_d):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-7, rtol=1e-5)
+
+
+def test_bf16_tmat_row_chunked_matches_single_shot(monkeypatch):
+    """KDSS_LOCA_TMAT=bf16 row-chunks the materialized teacher logits
+    through a checkpointed scan (_tmat_row_chunk) — the 7B single-chip
+    fit lever.  Chunked must equal single-shot (KDSS_LOCA_TMAT_CHUNK=0)
+    to f32 sum association, for values and student grads, on both the
+    loca_ce and kl wrappers.  KDSS_ROWCHUNK_REMAT=0 because interpret-
+    mode pallas carries an IO effect that cannot live under remat."""
+    import knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_spmd as fs
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(3)
+    n, ds, dt, v = 128, 128, 256, 300
+    hs = jnp.asarray(rng.normal(size=(n, ds)).astype(np.float32))
+    ht = jnp.asarray(rng.normal(size=(n, dt)).astype(np.float32))
+    ws = jnp.asarray((rng.normal(size=(ds, v)) * 0.05).astype(np.float32)).T
+    wt = jnp.asarray((rng.normal(size=(dt, 340)) * 0.05).astype(np.float32))
+    lab = jnp.asarray(rng.integers(0, v, size=(n,)).astype(np.int32))
+    lab = lab.at[:5].set(-100)
+    labce = jnp.asarray(rng.integers(0, v, size=(n,)).astype(np.int32))
+    labce = labce.at[-7:].set(-100)
+
+    monkeypatch.setenv("KDSS_ROWCHUNK_REMAT", "0")
+    monkeypatch.setenv("KDSS_LOCA_TMAT", "bf16")
+
+    def run(chunk):
+        monkeypatch.setenv("KDSS_LOCA_TMAT_CHUNK", chunk)
+
+        def f(hs_, ws_):
+            loca, ce = fs.fused_loca_ce_loss_spmd(
+                hs_, ws_, ht, wt, lab, labce, temperature=0.8, alpha=0.8,
+                student_head_layout="vd")
+            return 0.8 * loca + ce, (loca, ce)
+
+        with pltpu.force_tpu_interpret_mode():
+            (_, (loca, ce)), (gh, gw) = jax.value_and_grad(
+                f, argnums=(0, 1), has_aux=True)(hs, ws)
+            kl = fs.fused_kl_loss_spmd(hs, ws, ht, wt, temperature=2.0,
+                                       student_head_layout="vd")
+        return float(loca), float(ce), np.asarray(gh), np.asarray(gw), float(kl)
+
+    l_c, ce_c, gh_c, gw_c, kl_c = run("64")   # 2 chunks
+    l_s, ce_s, gh_s, gw_s, kl_s = run("0")    # single-shot
+    np.testing.assert_allclose(l_c, l_s, rtol=1e-5)
+    np.testing.assert_allclose(ce_c, ce_s, rtol=1e-6)
+    np.testing.assert_allclose(kl_c, kl_s, rtol=1e-5)
+    np.testing.assert_allclose(gh_c, gh_s, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(gw_c, gw_s, rtol=1e-4, atol=1e-6)
