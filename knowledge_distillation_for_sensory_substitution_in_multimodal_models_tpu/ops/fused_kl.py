@@ -200,9 +200,10 @@ def _kl_rows_impl(hs, ws, ht, wt, v_real, inv_t, vd, tmat=False):
     n_n, n_v = n // BN, _cdiv(v_width, BV)
     hspec, _, rspec = _row_specs(d)
     if tmat:
-        t_in = _materialize_t(
+        from .fused_loca import _materialize_t_any
+        t_in = _materialize_t_any(
             ht, wt, inv_t,
-            dtype=jnp.bfloat16 if tmat == "bf16" else jnp.float32,
+            jnp.bfloat16 if tmat == "bf16" else jnp.float32,
         )
         wt_in = jnp.zeros(_TMAT_DUMMY_SHAPE, jnp.float32)
         hspec_t, cspec_t = _tmat_specs()

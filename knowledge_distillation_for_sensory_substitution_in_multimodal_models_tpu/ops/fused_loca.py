@@ -1034,12 +1034,62 @@ def _materialize_t(ht, wt, inv_t, dtype=jnp.float32):
     return t if dtype == jnp.float32 else t.astype(dtype)
 
 
+def _materialize_kernel(ht_ref, wt_ref, wts_ref, out_ref, *, inv_t, t_vd):
+    out_ref[:] = _t_block(ht_ref, wt_ref, inv_t, False, wts_ref,
+                          t_vd).astype(out_ref.dtype)
+
+
+def _materialize_t_int8(ht, wt, inv_t, dtype):
+    """[N, V] teacher logits at 1/T from the int8 (kernel_q, scale) head,
+    via a vocab-streaming Pallas kernel: each (BN, BV) output block does
+    one int8-block dequant-dot in VMEM (_t_block), so no dense bf16 copy
+    of the head ever exists.  The XLA-dot form (_materialize_t) relies on
+    the convert fusing into the dot — true single-shot, but inside a
+    row-chunked scan the int8→bf16 convert is loop-invariant and XLA
+    hoists it as a 1.01 GB materialized head copy (measured, r5
+    b2_tmat_chunk arm) — this kernel is what makes row-chunked tmat
+    viable at all.  Edge-vocab garbage (Vt % BV != 0) lands in cols >=
+    v_real, which every sweep masks (same contract as _t_block)."""
+    n, dt = ht.shape
+    wq, wts = wt
+    t_vd = wq.shape[0] != dt
+    vt = wq.shape[0] if t_vd else wq.shape[1]
+    grid = (n // BN, _cdiv(vt, BV))
+    hspec = pl.BlockSpec((BN, dt), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = (pl.BlockSpec((BV, dt), lambda i, j: (j, 0),
+                          memory_space=pltpu.VMEM)
+             if t_vd else
+             pl.BlockSpec((dt, BV), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM))
+    sspec = pl.BlockSpec((1, BV), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((BN, BV), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_materialize_kernel, inv_t=inv_t, t_vd=t_vd),
+        grid=grid,
+        in_specs=[hspec, wspec, sspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((n, vt), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(ht, wq, wts)
+
+
+def _materialize_t_any(ht, wt, inv_t, dtype):
+    if isinstance(wt, tuple):
+        return _materialize_t_int8(ht, wt, inv_t, dtype)
+    return _materialize_t(ht, wt, inv_t, dtype)
+
+
 def _loca_ce_rows_impl(hs, ws, ht, wt, lab_loca, lab_ce, v_real, inv_t,
                        alpha, eps, vd, tmat):
     if tmat:
-        t_in = _materialize_t(
+        t_in = _materialize_t_any(
             ht, wt, inv_t,
-            dtype=jnp.bfloat16 if tmat == "bf16" else jnp.float32,
+            jnp.bfloat16 if tmat == "bf16" else jnp.float32,
         )
         wt_in = jnp.zeros(_TMAT_DUMMY_SHAPE, jnp.float32)
     else:

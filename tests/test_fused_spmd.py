@@ -443,3 +443,48 @@ def test_bf16_tmat_row_chunked_matches_single_shot(monkeypatch):
     np.testing.assert_allclose(kl_c, kl_s, rtol=1e-5)
     np.testing.assert_allclose(gh_c, gh_s, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(gw_c, gw_s, rtol=1e-4, atol=1e-6)
+
+
+def test_bf16_tmat_int8_head_pallas_materializer(monkeypatch):
+    """With an int8 (kernel_q, scale) teacher head, the bf16 tmat form
+    materializes through the vocab-streaming Pallas kernel
+    (fused_loca._materialize_t_int8) — no dense bf16 head copy (the XLA
+    dot's int8→bf16 convert is hoisted out of row-chunk scans as a
+    1.01 GB loop-invariant; r5 b2_tmat_chunk arm).  Values must match
+    the dense-head tmat run to f32-dot + bf16-rounding order, and the
+    int8 recompute run to the bf16-tmat envelope."""
+    import knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.fused_spmd as fs
+    from knowledge_distillation_for_sensory_substitution_in_multimodal_models_tpu.ops.int8 import (
+        absmax_quantize_weight,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(5)
+    n, ds, dt, v = 128, 128, 256, 300
+    hs = jnp.asarray(rng.normal(size=(n, ds)).astype(np.float32))
+    ht = jnp.asarray(rng.normal(size=(n, dt)).astype(np.float32))
+    ws = jnp.asarray((rng.normal(size=(ds, v)) * 0.05).astype(np.float32)).T
+    wt_f = jnp.asarray((rng.normal(size=(dt, 340)) * 0.05).astype(np.float32))
+    wq, wsc = absmax_quantize_weight(wt_f)
+    wt_dense = wq.astype(jnp.float32) * wsc[None, :]
+    lab = jnp.asarray(rng.integers(0, v, size=(n,)).astype(np.int32))
+    labce = jnp.asarray(rng.integers(0, v, size=(n,)).astype(np.int32))
+
+    monkeypatch.setenv("KDSS_ROWCHUNK_REMAT", "0")
+    monkeypatch.setenv("KDSS_LOCA_TMAT_CHUNK", "64")
+
+    def run(tmat_env, head):
+        monkeypatch.setenv("KDSS_LOCA_TMAT", tmat_env)
+        with pltpu.force_tpu_interpret_mode():
+            loca, ce = fs.fused_loca_ce_loss_spmd(
+                hs, ws, ht, head, lab, labce, temperature=0.8, alpha=0.8,
+                student_head_layout="vd")
+        return float(loca), float(ce)
+
+    l_q, ce_q = run("bf16", (wq, wsc))       # pallas int8 materializer
+    l_d, ce_d = run("bf16", wt_dense)        # XLA dense materializer
+    l_r, ce_r = run("0", (wq, wsc))          # int8 recompute reference
+    np.testing.assert_allclose(l_q, l_d, rtol=1e-3)
+    np.testing.assert_allclose(ce_q, ce_d, rtol=1e-6)
+    np.testing.assert_allclose(l_q, l_r, rtol=5e-3)
+    np.testing.assert_allclose(ce_q, ce_r, rtol=1e-6)
