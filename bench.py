@@ -356,10 +356,20 @@ def bench_train(args, mode: str) -> dict:
         if is_7b:
             import os
 
-            # The [S, V_t] f32 materialized-teacher-logits buffer is
-            # 1.9 GB at the 152128 vocab — recompute instead (the HBM is
-            # spoken for by the 8 GB int8 teacher).  Overridable.
-            os.environ.setdefault("KDSS_LOCA_TMAT", "0")
+            # The f32 materialized-teacher-logits buffer is 1.9 GB at the
+            # 152128 vocab — unaffordable beside the 8 GB int8 teacher.
+            # At B>=2 the measured winner is the row-chunked bf16 tmat
+            # (KDSS_LOCA_TMAT=bf16, chunk 512: one 149 MB [512, V] slab
+            # live at a time, materialized by the vocab-streaming Pallas
+            # int8 kernel): 1.7684 samples/s / 113.7 TFLOP/s vs 1.688
+            # recompute, loss trace identical to 5 decimals
+            # (docs/PERF_NOTES.md "tmat fit campaign").  B=1 + tmat
+            # runtime-OOMs (measured) — recompute there.  Overridable.
+            if args.batch >= 2:
+                os.environ.setdefault("KDSS_LOCA_TMAT", "bf16")
+                os.environ.setdefault("KDSS_LOCA_TMAT_CHUNK", "512")
+            else:
+                os.environ.setdefault("KDSS_LOCA_TMAT", "0")
             if tq not in ("int8", "int8_full"):
                 print("WARNING: --teacher 7b at bf16 is ~16 GB of weights "
                       "— expect RESOURCE_EXHAUSTED on a 16 GB chip; use "
